@@ -1,0 +1,20 @@
+"""unicycler_tpu: a TPU-native hybrid bacterial genome assembly framework.
+
+A from-scratch re-design of the capabilities of Unicycler (the reference
+hybrid assembler) for TPU hardware: the alignment compute path runs as
+batched JAX/Pallas wavefront DP kernels, the assembly-graph pipeline runs
+host-side over device-resident sequence tensors, and scaling happens via
+jax.sharding meshes rather than thread pools.
+
+Layering (mirrors reference layer map, SURVEY.md §1):
+  pipeline/   CLI + orchestrator            (ref unicycler/unicycler.py)
+  graph/      assembly + string graphs      (ref assembly_graph.py, string_graph.py)
+  bridges/    bridging + path finding       (ref bridge_*.py, path_finding.py)
+  asm/        OLC assembler + polish        (ref vendored miniasm + Racon subprocess)
+  align/      alignment orchestration       (ref unicycler_align.py, alignment.py)
+  ops/        device compute (JAX/Pallas)   (ref C++ SeqAn/minimap via ctypes)
+  io/         FASTA/FASTQ/SAM/GFA           (ref read_ref.py, misc.py)
+  parallel/   mesh + sharding               (ref: none — single-node threads)
+"""
+
+from .version import __version__
