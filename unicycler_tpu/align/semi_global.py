@@ -1,0 +1,290 @@
+"""Semi-global long-read alignment driver.
+
+Capability parity with reference unicycler/unicycler_align.py:88-470 and
+the C++ seed-and-extend aligner it drives (src/semi_global_align.cpp:24-347):
+
+  reference pipeline                     TPU-native pipeline (here)
+  ------------------------------------   ---------------------------------
+  minimap seeding (vendored minimap)     minimiser index lookup (ops/minimizer)
+  k-mer cloud + nanoflann line tracing   diagonal-binned hit clusters + LIS chain
+  SeqAn bandedChainAlignment per range   batched banded corridor DP (ops/banded)
+  ThreadPool over reads                  one device launch over all (read,
+                                         window) tasks, bucketed by shape
+
+The auto low-score threshold table is reproduced verbatim
+(ref unicycler_align.py:473-520); unknown schemes are measured with the
+device random-alignment benchmark (ops parity with
+src/random_alignments.cpp:30-52).
+"""
+
+from typing import List
+
+import numpy as np
+
+from .. import log, settings
+from ..io.fastx import Reference, load_references
+from ..misc import float_to_str
+from ..ops import banded as banded_ops
+from ..ops import minimizer as mz
+from ..ops import pairwise as pw
+from ..ops.encode import revcomp_codes
+from .alignment import Alignment
+
+# Precomputed random-alignment score distributions for known scoring schemes
+# (ref unicycler_align.py:480-508).
+_RANDOM_SCORE_TABLE = {
+    '1,0,0,0': (50.225667, 2.467919),
+    '0,-1,-1,-1': (49.024927, 2.724548),
+    '1,-1,-1,-1': (51.741783, 2.183467),
+    '5,-4,-8,-6': (42.707636, 2.435548),
+    '5,-6,-10,0': (58.65047, 0.853201),
+    '2,-5,-2,-1': (72.712148, 0.95266),
+    '1,-3,-5,-2': (46.257408, 2.162765),
+    '5,-11,-2,-4': (73.221967, 1.363692),
+    '3,-6,-5,-2': (61.656918, 1.314624),
+    '2,-3,-5,-2': (47.453862, 1.985947),
+    '1,-2,0,0': (81.720641, 0.77204),
+    '0,-6,-5,-3': (62.647055, 1.738603),
+    '2,-6,-5,-3': (59.713806, 1.641191),
+    '1,-4,-6,-1': (60.328393, 1.176776),
+}
+
+
+def get_auto_score_threshold(scoring_scheme, std_devs_over_mean=
+                             settings.AUTO_SCORE_STDEV_ABOVE_RANDOM_ALIGNMENT_MEAN):
+    """Low score threshold from random-alignment statistics
+    (ref unicycler_align.py:473-520)."""
+    key = str(scoring_scheme)
+    if key in _RANDOM_SCORE_TABLE:
+        mean, std_dev = _RANDOM_SCORE_TABLE[key]
+    else:
+        mean, std_dev = get_random_sequence_alignment_mean_and_std_dev(
+            100, 10000, scoring_scheme)
+    threshold = mean + std_devs_over_mean * std_dev
+    threshold = max(50.0, min(95.0, threshold))
+    return threshold, mean, std_dev
+
+
+def get_random_sequence_alignment_mean_and_std_dev(seq_len, count,
+                                                   scoring_scheme):
+    """Scaled scores of global alignments of random sequence pairs, batched
+    on device (replaces src/random_alignments.cpp:30-52)."""
+    rng = np.random.RandomState(0)
+    q = [rng.randint(0, 4, seq_len).astype(np.int8) for _ in range(count)]
+    r = [rng.randint(0, 4, seq_len).astype(np.int8) for _ in range(count)]
+    res = pw.align_pairs(q, r, scoring=scoring_scheme.to_ops(),
+                         config=pw.FULLY_GLOBAL, need_cigar=True)
+    scaled = []
+    for pa in res:
+        align_len = sum(c for c, _ in pa.cigar)
+        if align_len == 0:
+            continue
+        perfect = scoring_scheme.match * align_len
+        worst = scoring_scheme.mismatch * align_len
+        scaled.append(100.0 * (pa.score - worst) / (perfect - worst))
+    return float(np.mean(scaled)), float(np.std(scaled))
+
+
+class _Task(object):
+    """One (read, strand, reference window) banded-alignment task."""
+    __slots__ = ('read', 'ref', 'rev_comp', 'window_start', 'banded')
+
+    def __init__(self, read, ref, rev_comp, window_start, banded):
+        self.read = read
+        self.ref = ref
+        self.rev_comp = rev_comp
+        self.window_start = window_start
+        self.banded = banded
+
+
+def _make_tasks(read, ref_list, clusters, band, fine_k=10) -> List[_Task]:
+    """Build one banded task per seed cluster. The reference window is the
+    cluster's ref span expanded by read overhang plus half the read length
+    (semantics of getRefRange, ref src/semi_global_align.cpp:608-620).
+    Near-duplicate clusters (same ref/strand, overlapping diagonals) are
+    deduplicated. Each task's corridor is refined with a dense common-kmer
+    pass near the coarse minimiser line."""
+    read_len = read.get_length()
+    pad = read_len // 2
+    tasks = []
+    seen = []   # (ref_id, rev, diag_lo, diag_hi, read_lo, read_hi)
+    for cl in clusters:
+        diag_lo = int(np.min(cl.anchors_ref - cl.anchors_read))
+        diag_hi = int(np.max(cl.anchors_ref - cl.anchors_read))
+        dup = False
+        for (rid, rev, dlo, dhi, rlo, rhi) in seen:
+            if (rid == cl.ref_id and rev == cl.rev_comp
+                    and diag_lo <= dhi + 2 * band and dlo <= diag_hi + 2 * band
+                    and cl.read_start <= rhi and rlo <= cl.read_end):
+                dup = True
+                break
+        if dup:
+            continue
+        seen.append((cl.ref_id, cl.rev_comp, diag_lo, diag_hi,
+                     cl.read_start, cl.read_end))
+        ref = ref_list[cl.ref_id]
+        ref_len = ref.get_length()
+        start = max(0, cl.ref_start - cl.read_start - pad)
+        end = min(ref_len, cl.ref_end + (read_len - cl.read_end) + pad)
+        q = revcomp_codes(read.codes) if cl.rev_comp else read.codes
+        r_window = ref.codes[start:end]
+        coarse_ref = (cl.anchors_ref - start).astype(np.int64)
+        fine_read, fine_ref = mz.collect_common_kmers(
+            q, r_window, cl.anchors_read.astype(np.int64), coarse_ref,
+            k=fine_k, max_dist=settings.FINE_ANCHOR_MAX_DIST,
+            max_occ=settings.FINE_ANCHOR_MAX_OCC)
+        if len(fine_read) >= 3:
+            a_read, a_ref = fine_read, fine_ref
+        else:
+            a_read = cl.anchors_read
+            a_ref = coarse_ref.astype(np.int32)
+        banded = banded_ops.BandedTask(
+            q=q, r=r_window, corridor_read=a_read, corridor_ref=a_ref)
+        tasks.append(_Task(read, ref, cl.rev_comp, start, banded))
+    return tasks
+
+
+def align_reads_to_refs(reads, references, scoring_scheme,
+                        sensitivity_level=0, keep_bad=False,
+                        low_score_threshold=None,
+                        min_align_length=settings.MIN_LONG_READ_ALIGNMENT_LENGTH,
+                        allowed_overlap=0):
+    """Core batched aligner: fills read.alignments for every read.
+
+    Tries every sensitivity level 0..sensitivity_level, accumulating
+    redundant alignments and filtering afterwards, exactly like the
+    reference's escalation loop (ref unicycler_align.py:390-403)."""
+    ref_codes = [r.codes for r in references]
+    for read in reads:
+        read.alignments = []
+
+    scoring = scoring_scheme.to_ops()
+    for level in range(0, sensitivity_level + 1):
+        k = settings.SEED_KMER_SIZES[level]
+        band = settings.BAND_SIZES[level]
+        index = mz.MinimizerIndex(ref_codes, k=k, w=10)
+        tasks: List[_Task] = []
+        for read in reads:
+            if read.get_length() < min_align_length:
+                continue
+            clusters = index.lookup(read.codes)
+            max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
+            tasks.extend(_make_tasks(read, references, clusters[:max_traces],
+                                     band))
+        if not tasks:
+            continue
+        results = banded_ops.align_banded(
+            [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
+            band=band, need_cigar=True)
+        # Iterative corridor refinement: re-center the band on each found
+        # alignment path and realign; keep the better result. This recovers
+        # score where the optimal path hugged the band edge (the analog of
+        # the reference's repeated line tracing, semi_global_align.cpp:229).
+        refine_idx = [i for i, pa in enumerate(results)
+                      if pa.score > 0 and pa.cigar]
+        if refine_idx:
+            refine_tasks = []
+            for i in refine_idx:
+                a_read, a_ref = banded_ops.alignment_path_anchors(results[i])
+                t = tasks[i]
+                refine_tasks.append(banded_ops.BandedTask(
+                    q=t.banded.q, r=t.banded.r,
+                    corridor_read=a_read, corridor_ref=a_ref))
+            refined = banded_ops.align_banded(
+                refine_tasks, scoring, config=pw.SEMI_GLOBAL,
+                band=band, need_cigar=True)
+            for i, pa in zip(refine_idx, refined):
+                if pa.score > results[i].score:
+                    results[i] = pa
+        for task, pa in zip(tasks, results):
+            if pa.s1_end <= pa.s1_start:
+                continue
+            alignment = Alignment(read=task.read, ref=task.ref,
+                                  scoring_scheme=scoring_scheme,
+                                  pair_alignment=pa, rev_comp=task.rev_comp,
+                                  ref_offset=task.window_start)
+            task.read.alignments.append(alignment)
+
+    for read in reads:
+        read.remove_conflicting_alignments(allowed_overlap)
+        if not keep_bad and low_score_threshold is not None:
+            read.remove_low_score_alignments(low_score_threshold)
+        read.remove_short_alignments(min_align_length)
+
+
+def semi_global_align_long_reads(references, ref_fasta, read_dict, read_names,
+                                 reads_fastq, threads, scoring_scheme,
+                                 low_score_threshold_list, keep_bad,
+                                 min_align_length, sam_filename, full_command,
+                                 allowed_overlap, sensitivity_level,
+                                 contamination_fasta, verbosity=None,
+                                 stdout_header='Aligning reads',
+                                 display_low_score=True,
+                                 single_copy_segment_names=None):
+    """Reference-compatible driver entry point
+    (signature parity with ref unicycler_align.py:88)."""
+    if sensitivity_level is None:
+        sensitivity_level = 0
+    if verbosity is None:
+        verbosity = 0
+
+    low_score_threshold = low_score_threshold_list[0]
+    if low_score_threshold is None:
+        low_score_threshold, rand_mean, rand_std = get_auto_score_threshold(
+            scoring_scheme)
+        low_score_threshold_list[0] = low_score_threshold
+        if display_low_score and verbosity > 0:
+            log.log('Random alignment mean score: '
+                    + float_to_str(rand_mean, 2))
+            log.log('        Low score threshold: '
+                    + float_to_str(low_score_threshold, 2))
+
+    if contamination_fasta is not None:
+        references = references + load_references(contamination_fasta,
+                                                  contamination=True,
+                                                  section_header=None,
+                                                  show_progress=False)
+    reference_dict = {x.name: x for x in references}
+
+    reads_to_align = [read_dict[x] for x in read_names]
+    align_reads_to_refs(reads_to_align, references, scoring_scheme,
+                        sensitivity_level=sensitivity_level,
+                        keep_bad=keep_bad,
+                        low_score_threshold=low_score_threshold,
+                        min_align_length=min_align_length,
+                        allowed_overlap=allowed_overlap)
+
+    if sam_filename:
+        with open(sam_filename, 'w') as sam_file:
+            sam_file.write('@HD\tVN:1.5\tSO:unknown\n')
+            for ref in references:
+                sam_file.write('@SQ\tSN:' + ref.name + '\tLN:'
+                               + str(ref.get_length()) + '\n')
+            sam_file.write('@PG\tID:unicycler_tpu_align')
+            if full_command:
+                sam_file.write('\tCL:' + full_command + '\t')
+            sam_file.write('SC:' + str(scoring_scheme) + '\n')
+            for name in read_names:
+                for alignment in read_dict[name].alignments:
+                    if not alignment.ref.name.startswith('CONTAMINATION_'):
+                        sam_file.write(alignment.get_sam_line())
+
+    return read_dict
+
+
+def load_sam_alignments(sam_filename, read_dict, reference_dict,
+                        scoring_scheme):
+    """Rebuild Alignment objects from a SAM file
+    (parity with ref unicycler_align.py:313-340)."""
+    alignments = []
+    with open(sam_filename, 'rt') as sam:
+        for line in sam:
+            line = line.strip()
+            if not line or line.startswith('@'):
+                continue
+            if line.split('\t', 3)[2] == '*':
+                continue
+            alignments.append(Alignment(sam_line=line, read_dict=read_dict,
+                                        reference_dict=reference_dict,
+                                        scoring_scheme=scoring_scheme))
+    return alignments

@@ -1,0 +1,352 @@
+"""Banded affine-gap DP along a seed-chain corridor.
+
+Replaces SeqAn's ``bandedChainAlignment`` (ref src/semi_global_align.cpp:
+293-311) and the banded ``globalAlignment`` (ref src/global_align.cpp:56-75).
+Instead of chaining rectangles around seeds, the corridor is expressed as a
+per-row band offset array c[i] (nondecreasing): row i of the DP covers
+reference columns j in [c[i], c[i]+W). W is static (padded to a lane
+multiple) so the whole kernel is a jax.lax.scan over read rows with W
+vectorised lanes — wavefront-free, VPU-shaped.
+
+The same free-end-gap AlignConfig semantics as ops/pairwise apply; the
+E-state uses the identical prefix-cummax trick (valid within the band,
+matching SeqAn's band-limited gap runs).
+
+Traceback is 4 bits/cell over (rows, W) — for a 100 kb read at W=256 that
+is 25 MB instead of the full matrix's multi-GB, the same trick as the
+reference's band (SURVEY.md §7 hard parts: band streaming + bit packing).
+"""
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pairwise import (AlignConfig, DIAG, E_EXT_BIT, E_SRC, F_EXT_BIT, F_SRC,
+                       NEG, PairAlignment, Scoring, SEMI_GLOBAL)
+from .encode import R_PAD
+
+
+def _banded_single(q, r_ext, c, n_act, m_act, scoring, config, W, need_moves):
+    """One banded DP. q: (n_pad,) int8. r_ext: (m_pad + 2W,) int8, the
+    reference padded with W sentinel bases on each side. c: (n_pad + 1,)
+    int32 band offsets, c[i] = leftmost ref column j of row i's band
+    (c[0] for row 0). Returns (score, end_i, end_j, moves)."""
+    n_pad = q.shape[0]
+    match, mismatch, open_, ext = (int(scoring.match), int(scoring.mismatch),
+                                   int(scoring.gap_open), int(scoring.gap_extend))
+    ks = jnp.arange(W, dtype=jnp.int32)
+
+    def boundary_row0(j):
+        # H value of cell (0, j)
+        if config.free_start_s2:
+            return jnp.where(j >= 0, 0, NEG)
+        return jnp.where(j > 0, open_ + (j - 1) * ext,
+                         jnp.where(j == 0, 0, NEG)).astype(jnp.int32)
+
+    def col0_bound(i):
+        if config.free_start_s1:
+            return jnp.int32(0)
+        return jnp.int32(open_) + (i - 1) * jnp.int32(ext)
+
+    j0 = c[0] + ks
+    h0 = boundary_row0(j0)
+    h0 = jnp.where(j0 > m_act, NEG, h0)
+    f0 = jnp.full(W, NEG, jnp.int32)
+
+    def row_step(carry, xi):
+        h_prev, f_prev, h_at_n = carry
+        i, qi, ci, si = xi     # row index (1-based), q base, c[i], shift
+
+        j = ci + ks            # ref columns of this row's lanes
+        valid = (j >= 0) & (j <= m_act)
+
+        # Realign previous row's vectors to this row's band window:
+        # lane k of row i corresponds to lane k + si of row i-1.
+        h_up = jnp.where(ks + si < W, jnp.roll(h_prev, -si), NEG)
+        f_up = jnp.where(ks + si < W, jnp.roll(f_prev, -si), NEG)
+        # Diagonal predecessor (i-1, j-1) = lane k + si - 1 of row i-1.
+        h_diag = jnp.where(ks + si - 1 >= 0,
+                           jnp.roll(h_up, 1).at[0].set(
+                               jnp.where(si >= 1, h_prev[si - 1], NEG)), NEG)
+        # simpler: h_diag[k] = h_prev[k + si - 1]
+        h_diag = jnp.where((ks + si - 1 >= 0) & (ks + si - 1 < W),
+                           jnp.roll(h_prev, -(si - 1)), NEG)
+
+        # F: vertical gap (consumes q only).
+        f_open = h_up + open_
+        f_ext_v = f_up + ext
+        f = jnp.maximum(f_open, f_ext_v)
+        f_ext_bit = (f == f_ext_v) & (f_up > NEG // 2)
+
+        # Substitution: r base at j-1 lives at r_ext[j - 1 + W].
+        rwin = jax.lax.dynamic_slice(r_ext, (ci - 1 + W,), (W,))
+        sub = jnp.where(qi == rwin, match, mismatch).astype(jnp.int32)
+        diag = jnp.where((j >= 1) & (j <= m_act), h_diag + sub, NEG)
+        # Boundary entry for row i at column 0 (band may cover j=0).
+        hb = col0_bound(i)
+        diag = jnp.where(j == 0, hb, diag)
+
+        g = jnp.maximum(diag, jnp.where(j >= 1, f, NEG))
+
+        # E: horizontal gap via prefix cummax within the band.
+        cvec = g + open_ - (ks + 1) * ext
+        cmax = jax.lax.cummax(cvec, axis=0)
+        cmax_shift = jnp.concatenate([jnp.array([NEG], jnp.int32), cmax[:-1]])
+        e = cmax_shift + ks * ext
+        e = jnp.where((j >= 1), e, NEG)
+        e = jnp.where(e < NEG // 2, NEG, e)
+
+        h = jnp.maximum(g, e)
+        h = jnp.where(valid, h, NEG)
+
+        e_prev = jnp.concatenate([jnp.array([NEG], jnp.int32), e[:-1]])
+        e_ext_bit = (e == e_prev + ext) & (e_prev > NEG // 2)
+
+        if need_moves:
+            hsrc = jnp.where(h == diag, DIAG,
+                             jnp.where(h == e, E_SRC, F_SRC)).astype(jnp.uint8)
+            moves = (hsrc
+                     | jnp.where(e_ext_bit, E_EXT_BIT, 0).astype(jnp.uint8)
+                     | jnp.where(f_ext_bit, F_EXT_BIT, 0).astype(jnp.uint8))
+        else:
+            moves = jnp.zeros((), jnp.uint8)
+
+        h_at_n = jnp.where(i == n_act, h, h_at_n)
+        # last-column candidate of this row (free_end_s1)
+        k_lastcol = m_act - ci
+        in_band = (k_lastcol >= 0) & (k_lastcol < W)
+        lastcol = jnp.where(in_band & (i <= n_act),
+                            h[jnp.clip(k_lastcol, 0, W - 1)], NEG)
+        return (h, f, h_at_n), (moves, lastcol)
+
+    rows_i = jnp.arange(1, n_pad + 1, dtype=jnp.int32)
+    shifts = c[1:] - c[:-1]
+    init_at_n = jnp.where(n_act == 0, h0, jnp.full(W, NEG, jnp.int32))
+    (h_last, _, h_at_n), (moves, lastcol) = jax.lax.scan(
+        row_step, (h0, f0, init_at_n), (rows_i, q, c[1:], shifts))
+
+    # --- End selection ---------------------------------------------------
+    c_n = c[n_act]
+    j_at_n = c_n + ks
+    best_score = jnp.int32(NEG)
+    end_i = n_act
+    end_j = m_act
+
+    # corner (n_act, m_act) if within band
+    k_corner = m_act - c_n
+    corner_ok = (k_corner >= 0) & (k_corner < W)
+    corner = jnp.where(corner_ok, h_at_n[jnp.clip(k_corner, 0, W - 1)], NEG)
+    best_score = corner
+
+    if config.free_end_s2:
+        row_vals = jnp.where(j_at_n <= m_act, h_at_n, NEG)
+        k_best = jnp.argmax(row_vals).astype(jnp.int32)
+        s = row_vals[k_best]
+        better = s > best_score
+        end_j = jnp.where(better, c_n + k_best, end_j)
+        best_score = jnp.maximum(best_score, s)
+
+    if config.free_end_s1:
+        is_ = jnp.arange(1, n_pad + 1, dtype=jnp.int32)
+        col_vals = jnp.where(is_ <= n_act, lastcol, NEG)
+        # row 0 candidate
+        k0 = m_act - c[0]
+        row0_val = jnp.where((k0 >= 0) & (k0 < W),
+                             h0[jnp.clip(k0, 0, W - 1)], NEG)
+        col_vals = jnp.concatenate([row0_val[None], col_vals])
+        i_best = jnp.argmax(col_vals).astype(jnp.int32)
+        s = col_vals[i_best]
+        better = s > best_score
+        end_i = jnp.where(better, i_best, end_i)
+        end_j = jnp.where(better, m_act, end_j)
+        best_score = jnp.maximum(best_score, s)
+
+    return best_score, end_i, end_j, moves
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('scoring', 'config', 'W', 'need_moves'))
+def banded_batch_device(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
+                        scoring: Scoring, config: AlignConfig, W: int,
+                        need_moves: bool):
+    fn = functools.partial(_banded_single, scoring=scoring, config=config,
+                           W=W, need_moves=need_moves)
+    return jax.vmap(fn)(q_batch, r_ext_batch, c_batch, n_acts, m_acts)
+
+
+def decode_banded_traceback(moves: np.ndarray, c: np.ndarray, end_i: int,
+                            end_j: int, config: AlignConfig):
+    """Host traceback through the banded move matrix. Lane of (i, j) is
+    j - c[i]; moves row index is i-1 (rows 1..n)."""
+    i, j = int(end_i), int(end_j)
+    ops = []
+
+    def emit(op, count=1):
+        if ops and ops[-1][1] == op:
+            ops[-1][0] += count
+        else:
+            ops.append([count, op])
+
+    W = moves.shape[1]
+    state = 'H'
+    while True:
+        # Defensive: a traceback that leaves the band indicates a corrupted
+        # (NEG-valued) path; bail out rather than walk garbage bits.
+        if i > 0 and not (0 <= j - c[i] < W):
+            ops.clear()
+            i = j = 0
+            break
+        if state == 'H':
+            if i == 0:
+                if config.free_start_s2 or j == 0:
+                    break
+                emit('D', j)
+                j = 0
+                break
+            if j == 0:
+                if config.free_start_s1:
+                    break
+                emit('I', i)
+                i = 0
+                break
+            b = int(moves[i - 1, j - c[i]])
+            src = b & 3
+            if src == DIAG:
+                emit('M')
+                i -= 1
+                j -= 1
+            elif src == E_SRC:
+                state = 'E'
+            else:
+                state = 'F'
+        elif state == 'E':
+            b = int(moves[i - 1, j - c[i]])
+            emit('D')
+            j -= 1
+            if not (b & E_EXT_BIT) or j == 0:
+                state = 'H'
+        else:
+            b = int(moves[i - 1, j - c[i]])
+            emit('I')
+            i -= 1
+            if not (b & F_EXT_BIT) or i == 0:
+                state = 'H'
+    cigar = [(cnt, op) for cnt, op in reversed(ops)]
+    return cigar, i, j
+
+
+def build_corridor(anchors_read: np.ndarray, anchors_ref: np.ndarray,
+                   n: int, m: int, W: int) -> np.ndarray:
+    """Per-row band offsets c[i] (length n+1, nondecreasing) following the
+    piecewise-linear interpolation of the seed chain, extrapolated with
+    slope 1 to the matrix edges (the role of the reference's traced line,
+    ref src/semi_global_align.cpp:444-513)."""
+    rows = np.arange(n + 1, dtype=np.int64)
+    if len(anchors_read) == 0:
+        center = rows.astype(np.float64)
+    else:
+        ar = anchors_read.astype(np.float64)
+        af = anchors_ref.astype(np.float64)
+        center = np.interp(rows, ar, af)
+        # slope-1 extrapolation beyond the anchor span
+        first_r, first_f = ar[0], af[0]
+        last_r, last_f = ar[-1], af[-1]
+        below = rows < first_r
+        above = rows > last_r
+        center[below] = first_f - (first_r - rows[below])
+        center[above] = last_f + (rows[above] - last_r)
+    c = np.round(center).astype(np.int64) - W // 2
+    c = np.clip(c, -W + 1, max(m - W // 2, -W + 1))
+    c = np.maximum.accumulate(c)        # nondecreasing
+    return c.astype(np.int32)
+
+
+def alignment_path_anchors(pa: 'PairAlignment', step: int = 64):
+    """Sample (s1_pos, s2_pos) anchors along an alignment's CIGAR path, for
+    re-centering the band corridor on the found path (iterative corridor
+    refinement — recovers score lost where the optimal path hugged the band
+    edge)."""
+    i, j = pa.s1_start, pa.s2_start
+    anchors_i = [i]
+    anchors_j = [j]
+    since = 0
+    for count, op in pa.cigar:
+        di = count if op in 'MI' else 0
+        dj = count if op in 'MD' else 0
+        i += di
+        j += dj
+        since += count
+        if since >= step:
+            anchors_i.append(i)
+            anchors_j.append(j)
+            since = 0
+    anchors_i.append(i)
+    anchors_j.append(j)
+    return (np.array(anchors_i, np.int32), np.array(anchors_j, np.int32))
+
+
+class BandedTask(NamedTuple):
+    q: np.ndarray          # int8 codes, aligned orientation
+    r: np.ndarray          # int8 codes of the reference window
+    corridor_read: np.ndarray
+    corridor_ref: np.ndarray
+
+
+def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
+                 band: int = 25, need_cigar: bool = True
+                 ) -> List[PairAlignment]:
+    """Batch a list of banded tasks (bucketed by shape) through the kernel."""
+    if not tasks:
+        return []
+    from .encode import bucket_length, pad_to, Q_PAD
+    W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
+    results: List[PairAlignment] = [None] * len(tasks)
+    # bucket by (n_pad, m_pad)
+    buckets = {}
+    for idx, t in enumerate(tasks):
+        key = (bucket_length(max(len(t.q), 1)),
+               bucket_length(max(len(t.r), 1)))
+        buckets.setdefault(key, []).append(idx)
+    for (n_pad, m_pad), idxs in buckets.items():
+        qb = np.stack([pad_to(tasks[i].q, n_pad, Q_PAD) for i in idxs])
+        r_ext = np.full((len(idxs), m_pad + 2 * W), R_PAD, np.int8)
+        cb = np.zeros((len(idxs), n_pad + 1), np.int32)
+        n_acts = np.zeros(len(idxs), np.int32)
+        m_acts = np.zeros(len(idxs), np.int32)
+        for bi, i in enumerate(idxs):
+            t = tasks[i]
+            r_ext[bi, W:W + len(t.r)] = t.r
+            n_acts[bi] = len(t.q)
+            m_acts[bi] = len(t.r)
+            c = build_corridor(t.corridor_read, t.corridor_ref,
+                               len(t.q), len(t.r), W)
+            cb[bi, :len(c)] = c
+            cb[bi, len(c):] = c[-1]
+        score, end_i, end_j, moves = banded_batch_device(
+            qb, r_ext, cb, n_acts, m_acts, scoring, config, W, need_cigar)
+        score = np.asarray(score)
+        end_i = np.asarray(end_i)
+        end_j = np.asarray(end_j)
+        if need_cigar:
+            moves = np.asarray(moves)
+        for bi, i in enumerate(idxs):
+            if score[bi] <= NEG // 2:
+                # Degenerate task: no valid path within the band.
+                results[i] = PairAlignment(score=0, s1_start=0, s1_end=0,
+                                           s2_start=0, s2_end=0, cigar=[],
+                                           s1_len=int(n_acts[bi]),
+                                           s2_len=int(m_acts[bi]))
+                continue
+            if need_cigar:
+                cigar, si, sj = decode_banded_traceback(
+                    moves[bi], cb[bi], end_i[bi], end_j[bi], config)
+            else:
+                cigar, si, sj = [], 0, 0
+            results[i] = PairAlignment(
+                score=int(score[bi]), s1_start=si, s1_end=int(end_i[bi]),
+                s2_start=sj, s2_end=int(end_j[bi]), cigar=cigar,
+                s1_len=int(n_acts[bi]), s2_len=int(m_acts[bi]))
+    return results

@@ -1,0 +1,289 @@
+"""Minimiser sketching, reference index, and candidate-window seeding.
+
+Replaces the reference's vendored minimap 0.2 (ref unicycler/src/minimap/*,
+mm_sketch/mm_idx_gen/mm_map_file) plus the nanoflann line-tracing stage
+(ref src/semi_global_align.cpp:350-427). Exact minimap parity is not
+required (SURVEY.md §7.3): downstream banded DP only needs candidate
+reference windows plus a rough diagonal corridor, which diagonal-binned
+minimiser hits provide directly.
+
+Implementation is numpy (host): reference sets are a few MB, index build is
+a sort, and queries are searchsorted lookups — all vectorised. The output
+feeds the device banded-DP kernel in ops/banded.py.
+"""
+
+from typing import List, NamedTuple
+
+import numpy as np
+
+# minimap-style invertible hash on 2k-bit integers (public-domain finaliser
+# mix, same family as minimap's hash64).
+def _hash64(x: np.ndarray, mask: np.int64) -> np.ndarray:
+    x = x.astype(np.uint64)
+    m = np.uint64(mask)
+    x = (~x + (x << np.uint64(21))) & m
+    x = x ^ (x >> np.uint64(24))
+    x = (x + (x << np.uint64(3)) + (x << np.uint64(8))) & m
+    x = x ^ (x >> np.uint64(14))
+    x = (x + (x << np.uint64(2)) + (x << np.uint64(4))) & m
+    x = x ^ (x >> np.uint64(28))
+    x = (x + (x << np.uint64(31))) & m
+    return x
+
+
+def _kmer_codes(codes: np.ndarray, k: int):
+    """Packed 2-bit k-mer integers for every position; invalid where any
+    base is non-ACGT. Returns (kmers uint64 (n-k+1,), valid bool)."""
+    n = len(codes)
+    if n < k:
+        return (np.zeros(0, np.uint64), np.zeros(0, bool))
+    c = codes.astype(np.uint64)
+    bad = codes > 3
+    # rolling pack via cumulative shifts
+    kmers = np.zeros(n - k + 1, np.uint64)
+    valid = np.ones(n - k + 1, bool)
+    for off in range(k):
+        kmers = (kmers << np.uint64(2)) | c[off:n - k + 1 + off]
+        valid &= ~bad[off:n - k + 1 + off]
+    return kmers, valid
+
+
+def _revcomp_kmers(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Reverse complement of packed k-mers."""
+    comp = ~kmers  # complement of 2-bit codes (A<->T, C<->G under 0..3)
+    out = np.zeros_like(kmers)
+    for _ in range(k):
+        out = (out << np.uint64(2)) | (comp & np.uint64(3))
+        comp >>= np.uint64(2)
+    return out & np.uint64((1 << (2 * k)) - 1)
+
+
+class Minimizers(NamedTuple):
+    hashes: np.ndarray   # uint64 canonical hashed minimiser values
+    pos: np.ndarray      # int32 k-mer start position (on the + strand)
+    strand: np.ndarray   # int8: 0 if canonical = forward k-mer, 1 if reverse
+
+
+def sketch(codes: np.ndarray, k: int, w: int) -> Minimizers:
+    """(w,k)-minimisers of one sequence (semantics of minimap's mm_sketch:
+    canonical strand-aware k-mer hashing, window minima, no duplicates for
+    strand-ambiguous k-mers)."""
+    kmers, valid = _kmer_codes(codes, k)
+    if len(kmers) == 0:
+        return Minimizers(np.zeros(0, np.uint64), np.zeros(0, np.int32),
+                          np.zeros(0, np.int8))
+    mask = (1 << (2 * k)) - 1
+    fwd = _hash64(kmers, mask)
+    rev = _hash64(_revcomp_kmers(kmers, k), mask)
+    strand = (rev < fwd).astype(np.int8)
+    canon = np.where(strand == 1, rev, fwd)
+    # ambiguous (palindromic) and invalid k-mers excluded
+    ok = valid & (fwd != rev)
+    canon = np.where(ok, canon, np.uint64(np.iinfo(np.uint64).max))
+
+    n = len(canon)
+    if n <= w:
+        sel = np.array([np.argmin(canon)]) if ok.any() else np.zeros(0, np.int64)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(canon, w)
+        sel = np.unique(np.argmin(win, axis=1)
+                        + np.arange(len(win), dtype=np.int64))
+        sel = sel[ok[sel]]
+    return Minimizers(canon[sel], sel.astype(np.int32), strand[sel])
+
+
+class SeedHitCluster(NamedTuple):
+    """A candidate alignment region: read vs one reference strand."""
+    ref_id: int
+    rev_comp: bool       # read aligns to reference reverse strand
+    read_start: int      # positions on the aligned-orientation read
+    read_end: int
+    ref_start: int
+    ref_end: int
+    n_hits: int
+    anchors_read: np.ndarray   # int32 sorted anchor positions (read)
+    anchors_ref: np.ndarray    # int32 anchor positions (ref)
+
+
+class MinimizerIndex(object):
+    """Sorted-array minimiser index over a set of reference sequences."""
+
+    def __init__(self, ref_codes_list: List[np.ndarray], k: int = 15,
+                 w: int = 10):
+        self.k = k
+        self.w = w
+        self.ref_lengths = np.array([len(c) for c in ref_codes_list],
+                                    dtype=np.int64)
+        hashes, ref_ids, positions, strands = [], [], [], []
+        for rid, codes in enumerate(ref_codes_list):
+            mins = sketch(codes, k, w)
+            hashes.append(mins.hashes)
+            positions.append(mins.pos)
+            strands.append(mins.strand)
+            ref_ids.append(np.full(len(mins.pos), rid, np.int32))
+        h = np.concatenate(hashes) if hashes else np.zeros(0, np.uint64)
+        order = np.argsort(h, kind='stable')
+        self.hashes = h[order]
+        self.ref_ids = np.concatenate(ref_ids)[order] if ref_ids else \
+            np.zeros(0, np.int32)
+        self.positions = np.concatenate(positions)[order] if positions else \
+            np.zeros(0, np.int32)
+        self.strands = np.concatenate(strands)[order] if strands else \
+            np.zeros(0, np.int8)
+        # Occurrence cap: drop hyper-repetitive minimisers (top fraction),
+        # minimap's -f equivalent.
+        if len(self.hashes):
+            uniq, counts = np.unique(self.hashes, return_counts=True)
+            if len(uniq):
+                cap = max(10, int(np.percentile(counts, 99.9)))
+                bad = uniq[counts > cap]
+                keep = ~np.isin(self.hashes, bad)
+                self.hashes = self.hashes[keep]
+                self.ref_ids = self.ref_ids[keep]
+                self.positions = self.positions[keep]
+                self.strands = self.strands[keep]
+
+    def lookup(self, read_codes: np.ndarray, cluster_radius: int = 500,
+               min_hits: int = 3) -> List[SeedHitCluster]:
+        """Find candidate clusters of colinear minimiser hits.
+
+        Hits are binned by diagonal per (ref, relative strand); bins within
+        cluster_radius merge (the analog of minimap's radius clustering,
+        ref src/minimap/map.cpp, and of the reference's line tracing).
+        """
+        read_len = len(read_codes)
+        mins = sketch(read_codes, self.k, self.w)
+        if len(mins.hashes) == 0:
+            return []
+        lo = np.searchsorted(self.hashes, mins.hashes, side='left')
+        hi = np.searchsorted(self.hashes, mins.hashes, side='right')
+        counts = hi - lo
+        if counts.sum() == 0:
+            return []
+        # expand matches
+        read_idx = np.repeat(np.arange(len(mins.hashes)), counts)
+        flat = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)
+                               if b > a]) if counts.sum() else np.zeros(0, np.int64)
+        r_pos = mins.pos[read_idx]
+        r_str = mins.strand[read_idx]
+        t_ids = self.ref_ids[flat]
+        t_pos = self.positions[flat]
+        t_str = self.strands[flat]
+        rev = (r_str != t_str)  # relative strand
+
+        clusters = []
+        for rid in np.unique(t_ids):
+            for is_rev in (False, True):
+                m = (t_ids == rid) & (rev == is_rev)
+                if np.count_nonzero(m) < min_hits:
+                    continue
+                rp = r_pos[m].astype(np.int64)
+                tp = t_pos[m].astype(np.int64)
+                if is_rev:
+                    # orient read positions onto the reverse strand so the
+                    # alignment is (revcomp read) vs forward ref
+                    rp = read_len - (rp + self.k)
+                diag = tp - rp
+                order = np.argsort(diag, kind='stable')
+                rp, tp, diag = rp[order], tp[order], diag[order]
+                # split where diagonal jumps exceed the radius
+                breaks = np.nonzero(np.diff(diag) > cluster_radius)[0] + 1
+                for seg in np.split(np.arange(len(diag)), breaks):
+                    if len(seg) < min_hits:
+                        continue
+                    srp, stp = rp[seg], tp[seg]
+                    o2 = np.argsort(srp, kind='stable')
+                    srp, stp = srp[o2], stp[o2]
+                    # longest nondecreasing subsequence in ref positions ->
+                    # colinear chain (replaces SeqAn chainSeedsGlobally)
+                    chain = _lis_indices(stp)
+                    if len(chain) < min_hits:
+                        continue
+                    srp, stp = srp[chain], stp[chain]
+                    clusters.append(SeedHitCluster(
+                        ref_id=int(rid), rev_comp=bool(is_rev),
+                        read_start=int(srp[0]), read_end=int(srp[-1]) + self.k,
+                        ref_start=int(stp[0]), ref_end=int(stp[-1]) + self.k,
+                        n_hits=len(chain),
+                        anchors_read=srp.astype(np.int32),
+                        anchors_ref=stp.astype(np.int32)))
+        clusters.sort(key=lambda c: -c.n_hits)
+        return clusters
+
+
+def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
+                         line_read: np.ndarray, line_ref: np.ndarray,
+                         k: int = 10, max_dist: int = 100,
+                         max_occ: int = 64):
+    """Fine anchor pass: all common k-mers between read and reference window
+    that lie within max_dist of the coarse seed line, colinearised by LIS.
+
+    This is the TPU-pipeline analog of the reference's common-kmer collection
+    + trace-line filtering (ref src/semi_global_align.cpp:197-253 with
+    TRACE_LINE_COLLECTION_DISTANCE, settings.h:50): dense k=10 anchors make
+    the banded corridor hug the true alignment path, where sparse minimisers
+    alone would drift. Returns (anchors_read, anchors_ref) int32 arrays.
+    """
+    qk, qv = _kmer_codes(q_codes, k)
+    rk, rv = _kmer_codes(r_codes, k)
+    if len(qk) == 0 or len(rk) == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+    rk = np.where(rv, rk, np.uint64(np.iinfo(np.uint64).max))
+    order = np.argsort(rk, kind='stable')
+    rk_sorted = rk[order]
+    r_pos_sorted = order.astype(np.int64)
+    lo = np.searchsorted(rk_sorted, qk, side='left')
+    hi = np.searchsorted(rk_sorted, qk, side='right')
+    counts = np.where(qv, hi - lo, 0)
+    counts = np.minimum(counts, max_occ)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+    read_pos = np.repeat(np.arange(len(qk), dtype=np.int64), counts)
+    flat = np.concatenate([np.arange(a, a + c)
+                           for a, c in zip(lo, counts) if c > 0])
+    ref_pos = r_pos_sorted[flat]
+    # keep hits near the coarse line
+    if len(line_read) >= 2:
+        expected = np.interp(read_pos, line_read.astype(np.float64),
+                             line_ref.astype(np.float64))
+        # slope-1 extrapolation beyond the line's span
+        below = read_pos < line_read[0]
+        above = read_pos > line_read[-1]
+        expected[below] = line_ref[0] - (line_read[0] - read_pos[below])
+        expected[above] = line_ref[-1] + (read_pos[above] - line_read[-1])
+        near = np.abs(ref_pos - expected) <= max_dist
+        read_pos, ref_pos = read_pos[near], ref_pos[near]
+    if len(read_pos) == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+    o2 = np.lexsort((ref_pos, read_pos))
+    read_pos, ref_pos = read_pos[o2], ref_pos[o2]
+    chain = _lis_indices(ref_pos)
+    return (read_pos[chain].astype(np.int32), ref_pos[chain].astype(np.int32))
+
+
+def _lis_indices(values: np.ndarray) -> np.ndarray:
+    """Indices of a longest nondecreasing subsequence (O(n log n))."""
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    tails = []          # last value of LIS of each length
+    tails_idx = []
+    parent = np.full(n, -1, np.int64)
+    import bisect
+    for i in range(n):
+        v = values[i]
+        j = bisect.bisect_right(tails, v)
+        if j == len(tails):
+            tails.append(v)
+            tails_idx.append(i)
+        else:
+            tails[j] = v
+            tails_idx[j] = i
+        parent[i] = tails_idx[j - 1] if j > 0 else -1
+    out = []
+    i = tails_idx[-1]
+    while i >= 0:
+        out.append(i)
+        i = parent[i]
+    return np.array(out[::-1], np.int64)

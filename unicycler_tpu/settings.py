@@ -19,10 +19,15 @@ ALLOWED_ALIGNMENT_OVERLAP = 1.1
 MIN_SCALED_SCORE_PERCENTILE = 5.0
 AUTO_SCORE_STDEV_ABOVE_RANDOM_ALIGNMENT_MEAN = 7
 
-# Sensitivity-level tables (ref include/settings.h:12-42).
+# Sensitivity-level tables (shaped after ref include/settings.h:12-42).
 SEED_KMER_SIZES = (15, 14, 13, 12)        # minimiser k per sensitivity level
 ALIGN_KMER_SIZES = (10, 10, 9, 8)         # fine k-mer size per level
-BAND_SIZES = (25, 50, 75, 100)            # banded-DP band per level
+# Banded-DP half-band per level. The reference uses 25/50/75/100
+# (settings.h:22-25); the TPU kernel's band is padded to 128-lane multiples
+# anyway, so wider bands are nearly free and buy alignment quality.
+BAND_SIZES = (100, 150, 200, 250)
+FINE_ANCHOR_MAX_DIST = 300                # corridor collection distance
+FINE_ANCHOR_MAX_OCC = 256                 # per-kmer occurrence cap
 MIN_LINE_TRACE_COUNTS = (2, 2, 3, 4)      # candidate corridors always tried
 MAX_LINE_TRACE_COUNTS = (4, 8, 12, 16)    # candidate corridor cap
 MAX_BANDED_ALIGNMENT_GAP_AREA = 100000000  # ref settings.h:73
