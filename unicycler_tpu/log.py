@@ -77,6 +77,15 @@ def log_explanation(text, verbosity=1, extra_empty_lines_after=1):
         log('', verbosity)
 
 
+def log_number_list(numbers, verbosity=1):
+    """Wrapped comma-separated number list (ref log.py:146)."""
+    width = min(shutil.get_terminal_size().columns, 100) - 1
+    text = ', '.join(str(n) for n in numbers)
+    for line in textwrap.wrap(text, width, initial_indent='  ',
+                              subsequent_indent='  '):
+        log(line, verbosity)
+
+
 def log_progress(fraction, message, verbosity=1):
     """Carriage-return progress line (ref log.py:103-120)."""
     if verbosity <= logger.stdout_verbosity_level:
