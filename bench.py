@@ -1,0 +1,73 @@
+"""Benchmark: long-read semi-global alignment throughput per chip.
+
+Workload: the reference's own real-read fixture sets (tough: 16 reads up to
+72 kb; contained: 3 reads) aligned to their references at sensitivity 0 —
+the same workload used to measure the reference C++ aligner's throughput.
+
+Baseline: the reference SeqAn/minimap aligner (unicycler/src compiled with
+-O3, driven by unicycler_align.semi_global_align_long_reads with 8 threads,
+its default cap) measured on this machine:
+    tough:     3.95 s for 16 reads  -> 4.05 reads/s
+    contained: 0.69 s for  3 reads  -> 4.38 reads/s
+    combined:  19 reads / 4.64 s    -> 4.09 reads/s
+Prints one JSON line with reads/s and vs_baseline against that combined
+number.
+"""
+
+import json
+import time
+
+
+REFERENCE_COMBINED_READS_PER_SEC = 4.09
+
+FIXTURES = ['test_semi_global_alignment_tough',
+            'test_semi_global_alignment_contained_reads']
+FIXTURE_DIR = '/root/reference/test/'
+
+
+def load_workload():
+    from unicycler_tpu.io.fastx import load_long_reads, load_references
+    workload = []
+    for fixture in FIXTURES:
+        refs = load_references(FIXTURE_DIR + fixture + '.fasta',
+                               section_header=None, show_progress=False)
+        reads, names, _ = load_long_reads(FIXTURE_DIR + fixture + '.fastq',
+                                          silent=True)
+        workload.append((refs, [reads[n] for n in names]))
+    return workload
+
+
+def run_once(workload, scoring):
+    from unicycler_tpu.align.semi_global import align_reads_to_refs
+    total_reads = 0
+    for refs, reads in workload:
+        align_reads_to_refs(reads, refs, scoring, sensitivity_level=0,
+                            low_score_threshold=70.86, min_align_length=10)
+        total_reads += len(reads)
+    return total_reads
+
+
+def main():
+    from unicycler_tpu.align.scoring import AlignmentScoringScheme
+    scoring = AlignmentScoringScheme('3,-6,-5,-2')
+    workload = load_workload()
+
+    run_once(workload, scoring)          # warm-up: compile kernels
+    iters = 3
+    t0 = time.time()
+    total = 0
+    for _ in range(iters):
+        total += run_once(workload, scoring)
+    dt = time.time() - t0
+    reads_per_sec = total / dt
+    print(json.dumps({
+        'metric': 'long-read alignments/sec/chip (semi-global DP)',
+        'value': round(reads_per_sec, 2),
+        'unit': 'reads/s',
+        'vs_baseline': round(reads_per_sec / REFERENCE_COMBINED_READS_PER_SEC,
+                             2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -18,3 +18,25 @@ Layering (mirrors reference layer map, SURVEY.md §1):
 """
 
 from .version import __version__
+
+
+def _enable_compilation_cache():
+    """Persist XLA/Mosaic compiles across processes: kernel shapes are
+    bucketed, so a warmed cache removes nearly all compile latency from
+    later runs."""
+    import os
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            'UNICYCLER_TPU_CACHE',
+            os.path.join(os.path.expanduser('~'), '.cache',
+                         'unicycler_tpu_xla'))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:  # cache is an optimisation only
+        pass
+
+
+_enable_compilation_cache()

@@ -176,26 +176,6 @@ def align_reads_to_refs(reads, references, scoring_scheme,
         results = banded_ops.align_banded(
             [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
             band=band, need_cigar=True)
-        # Iterative corridor refinement: re-center the band on each found
-        # alignment path and realign; keep the better result. This recovers
-        # score where the optimal path hugged the band edge (the analog of
-        # the reference's repeated line tracing, semi_global_align.cpp:229).
-        refine_idx = [i for i, pa in enumerate(results)
-                      if pa.score > 0 and pa.cigar]
-        if refine_idx:
-            refine_tasks = []
-            for i in refine_idx:
-                a_read, a_ref = banded_ops.alignment_path_anchors(results[i])
-                t = tasks[i]
-                refine_tasks.append(banded_ops.BandedTask(
-                    q=t.banded.q, r=t.banded.r,
-                    corridor_read=a_read, corridor_ref=a_ref))
-            refined = banded_ops.align_banded(
-                refine_tasks, scoring, config=pw.SEMI_GLOBAL,
-                band=band, need_cigar=True)
-            for i, pa in zip(refine_idx, refined):
-                if pa.score > results[i].score:
-                    results[i] = pa
         for task, pa in zip(tasks, results):
             if pa.s1_end <= pa.s1_start:
                 continue
@@ -203,10 +183,57 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                                   scoring_scheme=scoring_scheme,
                                   pair_alignment=pa, rev_comp=task.rev_comp,
                                   ref_offset=task.window_start)
+            alignment._pair = pa
+            alignment._task = task
             task.read.alignments.append(alignment)
 
     for read in reads:
         read.remove_conflicting_alignments(allowed_overlap)
+
+    # Iterative corridor refinement, applied only to the surviving
+    # alignments: re-center the band on each found path and realign,
+    # keeping the better result. This recovers score where the optimal
+    # path hugged the band edge (the analog of the reference's repeated
+    # line tracing, semi_global_align.cpp:229) at a fraction of the cost
+    # of refining every candidate.
+    refine_alignments = []
+    for read in reads:
+        for alignment in read.alignments:
+            pa = getattr(alignment, '_pair', None)
+            if pa is None or pa.score <= 0 or not pa.cigar:
+                continue
+            if len(pa.cigar) == 1 and pa.cigar[0][1] == 'M' and \
+                    alignment.mismatch_count == 0:
+                continue            # already perfect
+            refine_alignments.append(alignment)
+    if refine_alignments:
+        refine_tasks = []
+        for alignment in refine_alignments:
+            pa = alignment._pair
+            task = alignment._task
+            a_read, a_ref = banded_ops.alignment_path_anchors(pa)
+            refine_tasks.append(banded_ops.BandedTask(
+                q=task.banded.q, r=task.banded.r,
+                corridor_read=a_read, corridor_ref=a_ref))
+        band = settings.BAND_SIZES[min(sensitivity_level,
+                                       len(settings.BAND_SIZES) - 1)]
+        refined = banded_ops.align_banded(
+            refine_tasks, scoring, config=pw.SEMI_GLOBAL, band=band,
+            need_cigar=True)
+        for alignment, pa2 in zip(refine_alignments, refined):
+            if pa2.score > alignment._pair.score:
+                task = alignment._task
+                better = Alignment(read=task.read, ref=task.ref,
+                                   scoring_scheme=scoring_scheme,
+                                   pair_alignment=pa2,
+                                   rev_comp=task.rev_comp,
+                                   ref_offset=task.window_start)
+                better._pair = pa2
+                better._task = task
+                read_alignments = task.read.alignments
+                read_alignments[read_alignments.index(alignment)] = better
+
+    for read in reads:
         if not keep_bad and low_score_threshold is not None:
             read.remove_low_score_alignments(low_score_threshold)
         read.remove_short_alignments(min_align_length)

@@ -105,6 +105,17 @@ def score_function(val: float, half_score_val: float) -> float:
     return 1.0 - (half_score_val / (half_score_val + val))
 
 
+def get_num_agreement(num_1, num_2) -> float:
+    """How well two numbers agree: 1.0 perfect, 0.0 worst (ref misc.py:284)."""
+    if num_1 == 0.0 and num_2 == 0.0:
+        return 1.0
+    if num_1 < 0.0 and num_2 < 0.0:
+        num_1, num_2 = -num_1, -num_2
+    if num_1 * num_2 < 0.0:
+        return 0.0
+    return min(num_1, num_2) / max(num_1, num_2)
+
+
 def round_to_nearest_odd(num: float) -> int:
     return 2 * round((num - 1) / 2) + 1
 

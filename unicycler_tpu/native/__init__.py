@@ -1,0 +1,113 @@
+"""Native runtime components, built on demand with g++ and bound via ctypes
+(the binding style the reference uses for its compute layer,
+ref unicycler/cpp_wrappers.py:23-28 — here it hosts the serial traceback
+walks that sit between device kernels and Python)."""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_BUILD_FAILED = False
+
+_SRC_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_SRC_DIR, 'libunicycler_tpu_native.so')
+_SOURCES = ['cigar_decode.cpp']
+
+
+def _build():
+    cmd = (['g++', '-O3', '-std=c++17', '-fPIC', '-shared', '-o', _SO_PATH]
+           + [os.path.join(_SRC_DIR, s) for s in _SOURCES])
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """The native library, building it on first use. Returns None if no
+    toolchain is available (callers fall back to Python decoders)."""
+    global _LIB, _BUILD_FAILED
+    if _LIB is not None:
+        return _LIB
+    if _BUILD_FAILED:
+        return None
+    try:
+        needs_build = not os.path.exists(_SO_PATH) or any(
+            os.path.getmtime(os.path.join(_SRC_DIR, s))
+            > os.path.getmtime(_SO_PATH) for s in _SOURCES)
+        if needs_build:
+            _build()
+        lib = ctypes.CDLL(_SO_PATH)
+    except (OSError, subprocess.CalledProcessError):
+        _BUILD_FAILED = True
+        return None
+
+    lib.decode_banded_traceback.restype = ctypes.c_int
+    lib.decode_banded_traceback.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    lib.decode_full_traceback.restype = ctypes.c_int
+    lib.decode_full_traceback.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+_OP_NAMES = {0: 'M', 1: 'I', 2: 'D'}
+
+
+def native_decode_banded(moves, c, end_i, end_j, free_start_s1,
+                         free_start_s2):
+    """Native banded traceback over nibble-plane packed moves
+    ((n_rows, W/8) int32). Returns (cigar, start_i, start_j) or None if
+    the native library is unavailable or the walk failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    moves = np.ascontiguousarray(moves, dtype=np.int32)
+    c = np.ascontiguousarray(c, dtype=np.int32)
+    n_rows, w8 = moves.shape
+    W = w8 * 8
+    max_ops = n_rows + 16
+    out = np.empty(2 * max_ops, np.int32)
+    si = ctypes.c_int32()
+    sj = ctypes.c_int32()
+    n = lib.decode_banded_traceback(
+        moves.ctypes.data, c.ctypes.data, n_rows, W, int(end_i), int(end_j),
+        int(free_start_s1), int(free_start_s2),
+        out.ctypes.data, max_ops, ctypes.byref(si), ctypes.byref(sj))
+    if n == -1:
+        # Walk left the band (corrupt path) — same result as the Python
+        # decoder's defensive bail-out.
+        return ([], 0, 0)
+    if n < 0:
+        return None
+    cigar = [(int(out[2 * k]), _OP_NAMES[int(out[2 * k + 1])])
+             for k in range(n - 1, -1, -1)]
+    return (cigar, int(si.value), int(sj.value))
+
+
+def native_decode_full(moves, end_i, end_j, free_start_s1, free_start_s2):
+    """Native full-matrix traceback. Returns (cigar, start_i, start_j) or
+    None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    moves = np.ascontiguousarray(moves, dtype=np.uint8)
+    n_rows, m1 = moves.shape
+    max_ops = n_rows + m1 + 16
+    out = np.empty(2 * max_ops, np.int32)
+    si = ctypes.c_int32()
+    sj = ctypes.c_int32()
+    n = lib.decode_full_traceback(
+        moves.ctypes.data, n_rows, m1, int(end_i), int(end_j),
+        int(free_start_s1), int(free_start_s2),
+        out.ctypes.data, max_ops, ctypes.byref(si), ctypes.byref(sj))
+    if n < 0:
+        return None
+    cigar = [(int(out[2 * k]), _OP_NAMES[int(out[2 * k + 1])])
+             for k in range(n - 1, -1, -1)]
+    return (cigar, int(si.value), int(sj.value))

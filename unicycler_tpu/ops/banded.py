@@ -56,9 +56,17 @@ def _banded_single(q, r_ext, c, n_act, m_act, scoring, config, W, need_moves):
     h0 = jnp.where(j0 > m_act, NEG, h0)
     f0 = jnp.full(W, NEG, jnp.int32)
 
+    # Pre-gather each row's reference window with ONE vectorised gather —
+    # a per-step dynamic_slice from a large HBM array makes XLA compile
+    # time scale with the source size (measured: 12s at m=128k vs 1.4s at
+    # m=32k), while this gather compiles in constant time.
+    row_cs = c[1:]                                   # (n_pad,)
+    gather_idx = (row_cs[:, None] + (W - 1)) + jnp.arange(W)[None, :]
+    r_windows = r_ext[gather_idx]                    # (n_pad, W) int8
+
     def row_step(carry, xi):
         h_prev, f_prev, h_at_n = carry
-        i, qi, ci, si = xi     # row index (1-based), q base, c[i], shift
+        i, qi, ci, si, rwin = xi   # row index (1-based), q base, c[i], shift
 
         j = ci + ks            # ref columns of this row's lanes
         valid = (j >= 0) & (j <= m_act)
@@ -81,8 +89,7 @@ def _banded_single(q, r_ext, c, n_act, m_act, scoring, config, W, need_moves):
         f = jnp.maximum(f_open, f_ext_v)
         f_ext_bit = (f == f_ext_v) & (f_up > NEG // 2)
 
-        # Substitution: r base at j-1 lives at r_ext[j - 1 + W].
-        rwin = jax.lax.dynamic_slice(r_ext, (ci - 1 + W,), (W,))
+        # Substitution: r base at j-1 (pre-gathered into rwin).
         sub = jnp.where(qi == rwin, match, mismatch).astype(jnp.int32)
         diag = jnp.where((j >= 1) & (j <= m_act), h_diag + sub, NEG)
         # Boundary entry for row i at column 0 (band may cover j=0).
@@ -107,12 +114,18 @@ def _banded_single(q, r_ext, c, n_act, m_act, scoring, config, W, need_moves):
 
         if need_moves:
             hsrc = jnp.where(h == diag, DIAG,
-                             jnp.where(h == e, E_SRC, F_SRC)).astype(jnp.uint8)
-            moves = (hsrc
-                     | jnp.where(e_ext_bit, E_EXT_BIT, 0).astype(jnp.uint8)
-                     | jnp.where(f_ext_bit, F_EXT_BIT, 0).astype(jnp.uint8))
+                             jnp.where(h == e, E_SRC, F_SRC)).astype(jnp.int32)
+            moves4 = (hsrc
+                      | jnp.where(e_ext_bit, E_EXT_BIT, 0)
+                      | jnp.where(f_ext_bit, F_EXT_BIT, 0))
+            # Pack 8 lanes per int32 word in nibble-plane layout (word w
+            # holds lanes {w, w+W/8, ..., w+7W/8}): quarters the transfer
+            # over the ~120 MB/s tunnel and matches the Pallas kernel's
+            # packer and the native decoder.
+            from .pallas_banded import pack_moves_rows
+            moves = pack_moves_rows(moves4)
         else:
-            moves = jnp.zeros((), jnp.uint8)
+            moves = jnp.zeros((), jnp.int32)
 
         h_at_n = jnp.where(i == n_act, h, h_at_n)
         # last-column candidate of this row (free_end_s1)
@@ -126,7 +139,8 @@ def _banded_single(q, r_ext, c, n_act, m_act, scoring, config, W, need_moves):
     shifts = c[1:] - c[:-1]
     init_at_n = jnp.where(n_act == 0, h0, jnp.full(W, NEG, jnp.int32))
     (h_last, _, h_at_n), (moves, lastcol) = jax.lax.scan(
-        row_step, (h0, f0, init_at_n), (rows_i, q, c[1:], shifts))
+        row_step, (h0, f0, init_at_n),
+        (rows_i, q, c[1:], shifts, r_windows))
 
     # --- End selection ---------------------------------------------------
     c_n = c[n_act]
@@ -179,8 +193,21 @@ def banded_batch_device(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
 
 def decode_banded_traceback(moves: np.ndarray, c: np.ndarray, end_i: int,
                             end_j: int, config: AlignConfig):
-    """Host traceback through the banded move matrix. Lane of (i, j) is
-    j - c[i]; moves row index is i-1 (rows 1..n)."""
+    """Host traceback through the banded move matrix (4-bit packed,
+    (n_rows, W/2) bytes). Lane of (i, j) is j - c[i]; moves row index is
+    i-1 (rows 1..n). Uses the native decoder when available (the serial
+    walk is the driver's hot host loop)."""
+    from ..native import native_decode_banded
+    result = native_decode_banded(moves, c, end_i, end_j,
+                                  config.free_start_s1, config.free_start_s2)
+    if result is not None:
+        return result
+    # Python fallback: unpack nibble-plane int32 words to one byte per lane.
+    w8 = moves.shape[1]
+    unpacked = np.empty((moves.shape[0], w8 * 8), np.uint8)
+    for g in range(8):
+        unpacked[:, g * w8:(g + 1) * w8] = (moves >> (4 * g)) & 0xF
+    moves = unpacked
     i, j = int(end_i), int(end_j)
     ops = []
 
@@ -261,6 +288,11 @@ def build_corridor(anchors_read: np.ndarray, anchors_ref: np.ndarray,
     c = np.round(center).astype(np.int64) - W // 2
     c = np.clip(c, -W + 1, max(m - W // 2, -W + 1))
     c = np.maximum.accumulate(c)        # nondecreasing
+    # Cap per-row drift so the Pallas kernel's static-roll realignment
+    # (si <= MAX_SHIFT) sees the same corridor as the XLA kernel.
+    from .pallas_banded import MAX_SHIFT
+    d = np.minimum(np.diff(c), MAX_SHIFT)
+    c = c[0] + np.concatenate([[0], np.cumsum(d)])
     return c.astype(np.int32)
 
 
@@ -310,43 +342,73 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
         key = (bucket_length(max(len(t.q), 1)),
                bucket_length(max(len(t.r), 1)))
         buckets.setdefault(key, []).append(idx)
-    for (n_pad, m_pad), idxs in buckets.items():
-        qb = np.stack([pad_to(tasks[i].q, n_pad, Q_PAD) for i in idxs])
-        r_ext = np.full((len(idxs), m_pad + 2 * W), R_PAD, np.int8)
-        cb = np.zeros((len(idxs), n_pad + 1), np.int32)
-        n_acts = np.zeros(len(idxs), np.int32)
-        m_acts = np.zeros(len(idxs), np.int32)
-        for bi, i in enumerate(idxs):
-            t = tasks[i]
-            r_ext[bi, W:W + len(t.r)] = t.r
-            n_acts[bi] = len(t.q)
-            m_acts[bi] = len(t.r)
-            c = build_corridor(t.corridor_read, t.corridor_ref,
-                               len(t.q), len(t.r), W)
-            cb[bi, :len(c)] = c
-            cb[bi, len(c):] = c[-1]
-        score, end_i, end_j, moves = banded_batch_device(
-            qb, r_ext, cb, n_acts, m_acts, scoring, config, W, need_cigar)
-        score = np.asarray(score)
-        end_i = np.asarray(end_i)
-        end_j = np.asarray(end_j)
-        if need_cigar:
-            moves = np.asarray(moves)
-        for bi, i in enumerate(idxs):
-            if score[bi] <= NEG // 2:
-                # Degenerate task: no valid path within the band.
-                results[i] = PairAlignment(score=0, s1_start=0, s1_end=0,
-                                           s2_start=0, s2_end=0, cigar=[],
-                                           s1_len=int(n_acts[bi]),
-                                           s2_len=int(m_acts[bi]))
-                continue
-            if need_cigar:
-                cigar, si, sj = decode_banded_traceback(
-                    moves[bi], cb[bi], end_i[bi], end_j[bi], config)
+    # On TPU-class backends the Pallas kernel does the row loop on-core;
+    # the XLA lax.scan path stays for CPU (tests) and as reference.
+    use_pallas = jax.devices()[0].platform != 'cpu'
+    for (n_pad, m_pad), all_idxs in buckets.items():
+        # Fixed batch slice size on the Pallas path: one compiled shape
+        # per (n_pad, m_pad) regardless of how many tasks are queued.
+        if use_pallas:
+            from .pallas_banded import BT
+            slice_size = BT
+        else:
+            slice_size = len(all_idxs)
+        for s in range(0, len(all_idxs), slice_size):
+            idxs = all_idxs[s:s + slice_size]
+            B = slice_size if use_pallas else len(idxs)
+            qb = np.full((B, n_pad), Q_PAD, np.int8)
+            r_ext = np.full((B, m_pad + 2 * W), R_PAD, np.int8)
+            cb = np.zeros((B, n_pad + 1), np.int32)
+            n_acts = np.zeros(B, np.int32)
+            m_acts = np.zeros(B, np.int32)
+            for bi, i in enumerate(idxs):
+                t = tasks[i]
+                qb[bi, :len(t.q)] = t.q
+                r_ext[bi, W:W + len(t.r)] = t.r
+                n_acts[bi] = len(t.q)
+                m_acts[bi] = len(t.r)
+                c = build_corridor(t.corridor_read, t.corridor_ref,
+                                   len(t.q), len(t.r), W)
+                cb[bi, :len(c)] = c
+                cb[bi, len(c):] = c[-1]
+            if use_pallas:
+                from .pallas_banded import pallas_banded_batch
+                score, end_i, end_j, moves = pallas_banded_batch(
+                    qb, r_ext, cb, n_acts, m_acts, scoring, config, W,
+                    need_cigar)
             else:
-                cigar, si, sj = [], 0, 0
-            results[i] = PairAlignment(
-                score=int(score[bi]), s1_start=si, s1_end=int(end_i[bi]),
-                s2_start=sj, s2_end=int(end_j[bi]), cigar=cigar,
-                s1_len=int(n_acts[bi]), s2_len=int(m_acts[bi]))
+                score, end_i, end_j, moves = banded_batch_device(
+                    qb, r_ext, cb, n_acts, m_acts, scoring, config, W,
+                    need_cigar)
+            _emit_results(results, idxs, score, end_i, end_j, moves,
+                          cb, n_acts, m_acts, need_cigar, config)
     return results
+
+
+def _emit_results(results, idxs, score, end_i, end_j, moves, cb,
+                  n_acts, m_acts, need_cigar, config):
+    """Fetch a launch's outputs and decode them into PairAlignments."""
+    score = np.asarray(score)
+    end_i = np.asarray(end_i)
+    end_j = np.asarray(end_j)
+    if need_cigar:
+        # Fetch only the real tasks' move planes (the batch may be padded
+        # to the kernel's tile size, and the tunnel D2H is slow).
+        moves = np.asarray(moves[:len(idxs)])
+    for bi, i in enumerate(idxs):
+        if score[bi] <= NEG // 2:
+            # Degenerate task: no valid path within the band.
+            results[i] = PairAlignment(score=0, s1_start=0, s1_end=0,
+                                       s2_start=0, s2_end=0, cigar=[],
+                                       s1_len=int(n_acts[bi]),
+                                       s2_len=int(m_acts[bi]))
+            continue
+        if need_cigar:
+            cigar, si, sj = decode_banded_traceback(
+                moves[bi], cb[bi], end_i[bi], end_j[bi], config)
+        else:
+            cigar, si, sj = [], 0, 0
+        results[i] = PairAlignment(
+            score=int(score[bi]), s1_start=si, s1_end=int(end_i[bi]),
+            s2_start=sj, s2_end=int(end_j[bi]), cigar=cigar,
+            s1_len=int(n_acts[bi]), s2_len=int(m_acts[bi]))

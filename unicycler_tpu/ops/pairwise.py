@@ -228,7 +228,13 @@ def decode_traceback(moves: np.ndarray, end_i: int, end_j: int,
     Returns (cigar_ops_reversed_fixed, start_i, start_j) where cigar is a
     list of (count, op) in forward order, ops M/I/D (I consumes s1,
     D consumes s2 — read/ref convention of ref alignment.py:176-206).
+    Uses the native decoder when available.
     """
+    from ..native import native_decode_full
+    result = native_decode_full(moves, end_i, end_j,
+                                config.free_start_s1, config.free_start_s2)
+    if result is not None:
+        return result
     i, j = int(end_i), int(end_j)
     ops = []           # appended in reverse order
 
