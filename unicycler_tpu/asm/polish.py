@@ -1,0 +1,182 @@
+"""Assembly polishing by batched read-to-assembly consensus voting.
+
+Replaces the reference's Racon subprocess loop (ref miniasm_assembly.py:
+288-419, where Racon is a black box — SURVEY.md §7.8 notes only end-to-end
+quality matters, not Racon parity). Each polish round:
+
+  1. map every read to the unitigs (minimiser mapper, 'find contigs' role)
+  2. banded-align each mapped read span to its unitig window — ONE batched
+     device launch for all (read, unitig) pairs
+  3. walk the CIGARs accumulating per-position votes along each unitig
+     (base counts + summed quality, deletion votes, majority insertions)
+  4. call the consensus per unitig
+
+The mapping-quality metric (sum of matching/num bases) drives the same
+early-stopping loop as the reference (:349-360), and circular unitigs are
+rotated between rounds so their ends get polished too.
+"""
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from .. import log, settings
+from ..align.minimap_like import map_reads
+from ..io.fastx import Reference, encode_sequence
+from ..ops import banded as banded_ops
+from ..ops import pairwise as pw
+from ..ops.encode import revcomp_codes
+
+
+def polish_round(unitig_graph, reads, scoring):
+    """One polishing round. reads: list of Read objects. Returns
+    (polished_seqs dict, mapping_quality, unitig_depths)."""
+    refs = [Reference(name, seg.forward_sequence)
+            for name, seg in sorted(unitig_graph.segments.items())]
+    if not refs:
+        return {}, 0.0, {}
+    ref_by_name = {r.name: r for r in refs}
+    k = settings.SEED_KMER_SIZES[3]
+    mapped = map_reads(refs, reads, k=k, w=10, filter_overlaps=True,
+                       allowed_overlap=10, filter_by_minimisers=True)
+
+    mapping_quality = 0.0
+    unitig_depths = defaultdict(float)
+    tasks = []
+    task_meta = []   # (unitig_name, window_start, read, rev)
+    read_by_name = {r.name: r for r in reads}
+    for read_name in sorted(mapped.keys()):
+        read = read_by_name[read_name]
+        for a in mapped[read_name]:
+            mapping_quality += a.matching_bases / max(1, a.num_bases)
+            unitig_depths[a.ref_name] += a.fraction_ref_aligned()
+            ref = ref_by_name[a.ref_name]
+            pad = 200
+            win_start = max(0, a.ref_start - pad)
+            win_end = min(ref.get_length(), a.ref_end + pad)
+            read_codes = read.codes[a.read_start:a.read_end]
+            if a.read_strand == '-':
+                read_codes = revcomp_codes(read_codes)
+            anchors_read = np.array([0, a.read_end - a.read_start],
+                                    np.int32)
+            anchors_ref = np.array([a.ref_start - win_start,
+                                    a.ref_end - win_start], np.int32)
+            tasks.append(banded_ops.BandedTask(
+                q=read_codes, r=ref.codes[win_start:win_end],
+                corridor_read=anchors_read, corridor_ref=anchors_ref))
+            task_meta.append((a.ref_name, win_start, read, a))
+
+    results = banded_ops.align_banded(tasks, scoring, config=pw.SEMI_GLOBAL,
+                                      band=200, need_cigar=True)
+
+    # Vote accumulation per unitig.
+    votes = {}
+    for name, seg in unitig_graph.segments.items():
+        n = seg.get_length()
+        votes[name] = {
+            'base': [defaultdict(int) for _ in range(n)],
+            'qual': [defaultdict(int) for _ in range(n)],
+            'gap': np.zeros(n, np.int32),
+            'ins': defaultdict(list),
+            'cover': np.zeros(n, np.int32),
+        }
+
+    for (ref_name, win_start, read, a), pa in zip(task_meta, results):
+        if pa is None or pa.score <= 0 or not pa.cigar:
+            continue
+        seq = read.sequence[a.read_start:a.read_end]
+        qual = read.qualities[a.read_start:a.read_end]
+        if a.read_strand == '-':
+            from ..misc import reverse_complement
+            seq = reverse_complement(seq)
+            qual = qual[::-1]
+        v = votes[ref_name]
+        n_ref = len(v['gap'])
+        i = pa.s1_start
+        j = win_start + pa.s2_start
+        for count, op in pa.cigar:
+            if op == 'M':
+                end = min(count, n_ref - j)
+                for kk in range(max(0, end)):
+                    base = seq[i + kk]
+                    v['base'][j + kk][base] += 1
+                    v['qual'][j + kk][base] += ord(qual[i + kk]) \
+                        if i + kk < len(qual) else 0
+                v['cover'][j:j + max(0, end)] += 1
+                i += count
+                j += count
+            elif op == 'D':
+                if j < n_ref:
+                    v['gap'][j:min(j + count, n_ref)] += 1
+                j += count
+            else:
+                ins_seq = seq[i:i + count]
+                v['ins'][j].append(ins_seq)
+                i += count
+
+    # Consensus call per unitig.
+    polished = {}
+    for name, seg in unitig_graph.segments.items():
+        v = votes[name]
+        original = seg.forward_sequence
+        out = []
+        n = len(original)
+        for b in range(n):
+            col = v['base'][b]
+            if not col:
+                out.append(original[b])     # uncovered: keep original
+            else:
+                best = max(col, key=lambda x: (col[x], v['qual'][b][x]))
+                if v['gap'][b] > col[best]:
+                    pass                    # deletion wins
+                else:
+                    out.append(best)
+            ins = v['ins'].get(b + 1)
+            if ins and 2 * len(ins) > max(1, int(v['cover'][min(b, n - 1)])):
+                counts = Counter(ins)
+                best_ins, cnt = counts.most_common(1)[0]
+                if 2 * cnt > len(ins) or len(counts) == 1:
+                    out.append(best_ins)
+        polished[name] = ''.join(out)
+    return polished, mapping_quality, dict(unitig_depths)
+
+
+def polish_unitigs(unitig_graph, reads, scoring_scheme, hybrid):
+    """The full polish loop with early stopping and inter-round rotation
+    (semantics of ref polish_unitigs_with_racon :288-419)."""
+    log.log_section_header('Polishing miniasm assembly')
+    scoring = scoring_scheme.to_ops()
+    loop_count = (settings.RACON_POLISH_LOOP_COUNT_HYBRID if hybrid
+                  else settings.RACON_POLISH_LOOP_COUNT_LONG_ONLY)
+    best_quality = 0.0
+    best_sequences = {}
+    best_depths = {}
+    fails = 0
+    for round_num in range(loop_count + 3):
+        polished, quality, depths = polish_round(unitig_graph, reads,
+                                                 scoring)
+        log.log('  polish round %d: quality %.2f' % (round_num, quality), 2)
+        if quality > best_quality:
+            best_quality = quality
+            best_sequences = {name: seg.forward_sequence for name, seg
+                              in unitig_graph.segments.items()}
+            best_depths = depths
+            fails = 0
+        else:
+            fails += 1
+        if fails > 2 or round_num >= loop_count:
+            break
+        unitig_graph.replace_with_polished_sequences(polished,
+                                                     scoring_scheme)
+        unitig_graph.rotate_circular_sequences()
+
+    if best_sequences:
+        from ..misc import reverse_complement
+        for name, seq in best_sequences.items():
+            segment = unitig_graph.segments[name]
+            segment.forward_sequence = seq
+            segment.reverse_sequence = reverse_complement(seq)
+            if name in best_depths:
+                segment.depth = best_depths[name]
+        unitig_graph.normalise_read_depths()
+    return unitig_graph
