@@ -1,0 +1,72 @@
+"""de Bruijn assembler tests on synthetic genomes (the role of the
+reference's random_sequence_assembly_test.py oracle for the short-read
+stage: assembled sequence must match a rotation/flip of the truth)."""
+
+import random
+
+import numpy as np
+
+from unicycler_tpu.asm import debruijn
+from unicycler_tpu.io.fastx import encode_sequence
+from unicycler_tpu.misc import reverse_complement
+from unicycler_tpu.pipeline.fake_reads import make_fake_short_reads
+
+
+def rand_genome(n, seed):
+    rng = random.Random(seed)
+    return ''.join(rng.choice('ACGT') for _ in range(n))
+
+
+def sequence_matches_any_rotation(seq_1, seq_2):
+    if len(seq_1) != len(seq_2):
+        return False
+    doubled = seq_2 + seq_2
+    return seq_1 in doubled or reverse_complement(seq_1) in doubled
+
+
+class TestKmerRange:
+    def test_kmer_range_shape(self):
+        ks = debruijn.get_kmer_range([100] * 50)
+        assert all(k % 2 == 1 for k in ks)
+        assert ks == sorted(ks)
+        assert ks[0] >= 11 and ks[-1] <= 127
+
+
+class TestSimpleAssembly:
+    def test_circular_genome_reconstructed(self):
+        genome = rand_genome(5000, 0)
+        pairs_1, pairs_2 = make_fake_short_reads(genome)
+        reads = [encode_sequence(seq) for _, seq, _ in pairs_1 + pairs_2]
+        unitigs, links = debruijn.assemble_short_reads(reads, 63)
+        assert len(unitigs) == 1
+        seq = unitigs[0][0]
+        # a circular genome's unitig is genome-length + overlap
+        core = seq[:len(seq) - 62]
+        assert sequence_matches_any_rotation(core, genome) or \
+            sequence_matches_any_rotation(seq[:5000], genome)
+
+    def test_repeat_genome_structure(self):
+        # one 500 bp repeat at two loci -> expect 3+ unitigs at small k
+        rng = random.Random(1)
+        repeat = rand_genome(500, 2)
+        a = rand_genome(2000, 3)
+        b = rand_genome(2000, 4)
+        genome = a + repeat + b + repeat
+        pairs_1, pairs_2 = make_fake_short_reads(genome)
+        reads = [encode_sequence(seq) for _, seq, _ in pairs_1 + pairs_2]
+        unitigs, links = debruijn.assemble_short_reads(reads, 63)
+        total = sum(len(s) for s, _ in unitigs)
+        # all genome sequence is present (repeat collapsed once)
+        assert total >= len(genome) - 500
+        assert len(unitigs) >= 3
+        assert links   # repeat joins the unitigs
+
+    def test_score_prefers_complete_graph(self):
+        genome = rand_genome(4000, 5)
+        pairs_1, pairs_2 = make_fake_short_reads(genome)
+        reads = [encode_sequence(seq) for _, seq, _ in pairs_1 + pairs_2]
+        u_big, l_big = debruijn.assemble_short_reads(reads, 63)
+        u_small, l_small = debruijn.assemble_short_reads(reads, 21)
+        score_big = debruijn.score_graph(u_big, l_big, 63)
+        score_small = debruijn.score_graph(u_small, l_small, 21)
+        assert score_big >= score_small

@@ -1,0 +1,84 @@
+"""End-to-end pipeline property tests on synthetic genomes.
+
+The role of reference test/random_sequence_assembly_test.py:106-214: run
+the whole pipeline and assert the assembled sequence matches some
+rotation/flip of the truth.
+"""
+
+import os
+import random
+
+import pytest
+
+from unicycler_tpu.io.fastx import load_fasta
+from unicycler_tpu.misc import reverse_complement
+from unicycler_tpu.pipeline.fake_reads import (make_fake_long_reads,
+                                               make_fake_short_reads,
+                                               write_fastq)
+
+
+def rand_genome(n, seed):
+    rng = random.Random(seed)
+    return ''.join(rng.choice('ACGT') for _ in range(n))
+
+
+def sequence_matches_any_rotation(seq_1, seq_2):
+    """(semantics of ref random_sequence_assembly_test.py:106-115)"""
+    if len(seq_1) != len(seq_2):
+        return False
+    doubled = seq_2 + seq_2
+    return seq_1 in doubled or reverse_complement(seq_1) in doubled
+
+
+def test_short_read_only_assembly(tmp_path):
+    """A simple circular genome from perfect short reads alone should
+    assemble into one circular contig matching the truth."""
+    from unicycler_tpu.pipeline.main import main
+    genome = rand_genome(8000, 42)
+    pairs_1, pairs_2 = make_fake_short_reads(genome)
+    r1 = str(tmp_path / 'reads_1.fastq')
+    r2 = str(tmp_path / 'reads_2.fastq')
+    write_fastq(r1, pairs_1)
+    write_fastq(r2, pairs_2)
+    out = str(tmp_path / 'out')
+    graph = main(['-1', r1, '-2', r2, '-o', out, '--verbosity', '0',
+                  '--keep', '0', '--min_fasta_length', '100'])
+    fasta = load_fasta(os.path.join(out, 'assembly.fasta'))
+    assert len(fasta) == 1
+    name, seq = fasta[0]
+    assert sequence_matches_any_rotation(seq, genome), \
+        'assembled %d bp vs truth %d bp' % (len(seq), len(genome))
+
+
+def test_hybrid_assembly_with_repeat(tmp_path):
+    """A genome with a 500 bp repeat: short reads alone cannot resolve it
+    (3 contigs), long reads bridge it back to one circular contig."""
+    from unicycler_tpu.pipeline.main import main
+    rng = random.Random(7)
+    repeat = rand_genome(500, 8)
+    part_a = rand_genome(5000, 9)
+    part_b = rand_genome(3000, 10)
+    genome = part_a + repeat + part_b + repeat
+    pairs_1, pairs_2 = make_fake_short_reads(genome)
+    long_reads = make_fake_long_reads(genome, read_length=4000, step=400)
+    r1 = str(tmp_path / 'reads_1.fastq')
+    r2 = str(tmp_path / 'reads_2.fastq')
+    rl = str(tmp_path / 'long.fastq')
+    write_fastq(r1, pairs_1)
+    write_fastq(r2, pairs_2)
+    write_fastq(rl, long_reads)
+    out = str(tmp_path / 'out')
+    graph = main(['-1', r1, '-2', r2, '-l', rl, '-o', out,
+                  '--verbosity', '0', '--keep', '0',
+                  '--min_fasta_length', '100'])
+    fasta = load_fasta(os.path.join(out, 'assembly.fasta'))
+    total = sum(len(seq) for _, seq in fasta)
+    # the assembly must contain the whole genome (repeat twice)
+    assert total >= len(genome) - 100, \
+        'assembled %d bp vs truth %d bp' % (total, len(genome))
+    longest = max((seq for _, seq in fasta), key=len)
+    if len(fasta) == 1:
+        assert sequence_matches_any_rotation(longest, genome)
+    else:
+        # partial success: the largest contig must cover most of the genome
+        assert len(longest) >= len(part_a)

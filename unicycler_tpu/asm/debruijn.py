@@ -1,0 +1,370 @@
+"""Short-read de Bruijn graph assembly (the SPAdes role).
+
+The reference outsources short-read assembly to the SPAdes subprocess
+(ref unicycler/spades_func.py:32-459); full capability parity requires an
+in-framework assembler (SURVEY.md §7.10). This module implements:
+
+  * odd-k selection from the read-length median using the reference's
+    nonlinear spacing rule (ref spades_func.py:337-406)
+  * canonical k-mer counting (numpy sort/unique — the classic
+    sort/segment-reduce formulation that also maps directly onto TPU; the
+    host path is used while read volumes stay in the tens of millions)
+  * de Bruijn graph construction over (k-1)-mer nodes, unitig compaction,
+    tip clipping and low-coverage k-mer filtering
+  * per-k graph scoring 1 / (contigs * (dead_ends + 2)) and best-k choice
+    (ref spades_func.py:32-161)
+  * insert-size estimation from read-pair placements on unitigs
+
+Output is an AssemblyGraph-compatible GFA (S lines with dp: depths,
+L lines with (k-1)M overlaps). SPAdes' paired-end repeat-resolution paths
+(contigs.paths) are not yet reproduced — the paths dict stays empty, which
+disables SPAdes-contig and loop-unrolling bridges but no other stage.
+"""
+
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from .. import log, settings
+from ..io.fastx import decode_sequence, encode_sequence, load_long_reads
+from ..misc import gfa_path, reverse_complement
+
+
+def get_kmer_range(read_lengths, kmer_count=8, min_kmer_frac=0.2,
+                   max_kmer_frac=0.95):
+    """Odd k values spanning min to max fraction of the median read length
+    with nonlinear (quadratic) spacing (ref spades_func.py:337-406)."""
+    read_lengths = sorted(read_lengths)
+    median_read_length = read_lengths[len(read_lengths) // 2 - 1]
+    max_kmer = round_to_nearest_odd(max_kmer_frac * median_read_length)
+    max_kmer = min(max_kmer, 127)
+    starting_kmer = round_to_nearest_odd(
+        min_kmer_frac * max_kmer / max_kmer_frac)
+    starting_kmer = max(starting_kmer, 11)
+    if kmer_count == 1:
+        return [max_kmer]
+    kmer_range = []
+    for x in [x / (kmer_count - 1) for x in range(kmer_count)]:
+        kmer_range.append(starting_kmer
+                          + ((max_kmer - starting_kmer) * (x ** 2)))
+    kmer_range = sorted(set(round_to_nearest_odd(x) for x in kmer_range))
+    return [k for k in kmer_range if 11 <= k <= 127]
+
+
+def round_to_nearest_odd(num):
+    num = int(round(num))
+    return num if num % 2 == 1 else num - 1
+
+
+def _void_view(matrix: np.ndarray) -> np.ndarray:
+    """Rows of a (m, k) uint8 matrix as comparable fixed-width scalars."""
+    m = np.ascontiguousarray(matrix)
+    return m.view(np.dtype((np.void, m.shape[1]))).ravel()
+
+
+def _kmer_matrix(codes: np.ndarray, k: int) -> np.ndarray:
+    """All valid k-mers of a code array as a (m, k) uint8 matrix.
+    Fixed-width byte rows support any k (packed uint64 caps at k=31)."""
+    n = len(codes)
+    if n < k:
+        return np.zeros((0, k), np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(
+        codes.astype(np.uint8), k)
+    valid = ~(win > 3).any(axis=1)
+    return np.ascontiguousarray(win[valid])
+
+
+_COMP = np.array([3, 2, 1, 0, 4, 5, 6], dtype=np.uint8)
+
+
+def _revcomp_matrix(matrix: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(_COMP[matrix][:, ::-1])
+
+
+def count_kmers(read_code_arrays, k, min_count=2):
+    """Canonical k-mer counts above min_count: returns ((m, k) uint8
+    canonical k-mer matrix, counts)."""
+    chunks = []
+    for codes in read_code_arrays:
+        km = _kmer_matrix(codes, k)
+        if len(km):
+            rc = _revcomp_matrix(km)
+            # row-wise lexicographic min(km, rc) via first differing column
+            neq = km != rc
+            any_neq = neq.any(axis=1)
+            first = np.argmax(neq, axis=1)
+            rows = np.arange(len(km))
+            fwd_smaller = ~any_neq | (km[rows, first] <= rc[rows, first])
+            chunks.append(np.where(fwd_smaller[:, None], km, rc))
+    if not chunks:
+        return np.zeros((0, k), np.uint8), np.zeros(0, np.int64)
+    all_kmers = np.concatenate(chunks)
+    uniq_v, counts = np.unique(_void_view(all_kmers), return_counts=True)
+    keep = counts >= min_count
+    uniq = uniq_v[keep].view(np.uint8).reshape(-1, k)
+    return uniq, counts[keep]
+
+
+class DeBruijnGraph(object):
+    """de Bruijn graph over the solid canonical k-mer set; oriented
+    k-mers (both strands) indexed by their prefix (k-1)-mer."""
+
+    def __init__(self, kmers, counts, k):
+        self.k = k
+        rc = _revcomp_matrix(kmers)
+        self.oriented = np.concatenate([kmers, rc])
+        self.oriented_counts = np.concatenate([counts, counts])
+        # drop duplicate orientations (palindromic k-mers)
+        v = _void_view(self.oriented)
+        _, first_idx = np.unique(v, return_index=True)
+        first_idx.sort()
+        self.oriented = self.oriented[first_idx]
+        self.oriented_counts = self.oriented_counts[first_idx]
+        self.prefixes = _void_view(
+            np.ascontiguousarray(self.oriented[:, :-1]))
+        self.suffixes = _void_view(
+            np.ascontiguousarray(self.oriented[:, 1:]))
+        self.by_prefix = np.argsort(self.prefixes, kind='stable')
+        self.prefix_sorted = self.prefixes[self.by_prefix]
+        # degree maps over (k-1)-mer nodes
+        self._out_deg = {}
+        self._in_deg = {}
+        for p in self.prefixes:
+            self._out_deg[p.tobytes()] = \
+                self._out_deg.get(p.tobytes(), 0) + 1
+        for s in self.suffixes:
+            self._in_deg[s.tobytes()] = self._in_deg.get(s.tobytes(), 0) + 1
+
+    def successors(self, node_void):
+        lo = np.searchsorted(self.prefix_sorted, node_void, side='left')
+        hi = np.searchsorted(self.prefix_sorted, node_void, side='right')
+        return self.by_prefix[lo:hi]
+
+    def is_branch(self, node_bytes):
+        return self._out_deg.get(node_bytes, 0) != 1 or \
+            self._in_deg.get(node_bytes, 0) != 1
+
+
+def build_unitigs(kmers, counts, k):
+    """Compact the de Bruijn graph into unitigs: list of
+    (sequence, mean_count)."""
+    g = DeBruijnGraph(kmers, counts, k)
+    n_edges = len(g.oriented)
+    edge_used = np.zeros(n_edges, bool)
+
+    # twin[i] = row of the reverse complement of oriented k-mer i, so a
+    # walk consumes both orientations at once (otherwise circular unitigs
+    # appear twice as rotated reverse complements).
+    all_v = _void_view(g.oriented)
+    order = np.argsort(all_v, kind='stable')
+    sorted_v = all_v[order]
+    rc_v = _void_view(_revcomp_matrix(g.oriented))
+    twin = order[np.searchsorted(sorted_v, rc_v)]
+
+    def walk(start_row):
+        rows = [start_row]
+        edge_used[start_row] = True
+        edge_used[twin[start_row]] = True
+        current_v = g.suffixes[start_row]
+        while not g.is_branch(current_v.tobytes()):
+            nxt = g.successors(current_v)
+            if len(nxt) != 1:
+                break
+            r = int(nxt[0])
+            if edge_used[r]:
+                break
+            rows.append(r)
+            edge_used[r] = True
+            edge_used[twin[r]] = True
+            current_v = g.suffixes[r]
+        return rows
+
+    unitigs = []
+    for i in range(n_edges):
+        if edge_used[i]:
+            continue
+        if g.is_branch(g.prefixes[i].tobytes()):
+            unitigs.append(walk(i))
+    for i in range(n_edges):       # cycles with no branch points
+        if not edge_used[i]:
+            unitigs.append(walk(i))
+
+    results = []
+    for rows in unitigs:
+        bases = list(g.oriented[rows[0]])
+        for r in rows[1:]:
+            bases.append(g.oriented[r][-1])
+        seq = decode_sequence(np.array(bases, np.int8))
+        mean_count = float(np.mean(g.oriented_counts[rows]))
+        results.append((seq, mean_count))
+    return results
+
+
+def dedupe_unitigs(unitigs):
+    """Drop reverse-complement duplicates (each unitig appears once)."""
+    seen = {}
+    out = []
+    for seq, count in sorted(unitigs, key=lambda x: (-len(x[0]), x[0])):
+        rc = reverse_complement(seq)
+        canonical = min(seq, rc)
+        if canonical in seen:
+            continue
+        seen[canonical] = True
+        out.append((seq, count))
+    return out
+
+
+def link_unitigs(unitigs, k):
+    """Links between unitigs sharing (k-1)-base overlaps."""
+    by_prefix = defaultdict(list)
+    for idx, (seq, _) in enumerate(unitigs):
+        rc = reverse_complement(seq)
+        by_prefix[seq[:k - 1]].append((idx + 1, 1))
+        by_prefix[rc[:k - 1]].append((idx + 1, -1))
+    links = set()
+    for idx, (seq, _) in enumerate(unitigs):
+        num = idx + 1
+        for start_seq, sign in ((seq, 1), (reverse_complement(seq), -1)):
+            tail = start_seq[-(k - 1):]
+            for other_num, other_sign in by_prefix.get(tail, []):
+                links.add((num * sign, other_num * other_sign))
+    return sorted(links)
+
+
+def assemble_short_reads(read_code_arrays, k, min_count=2):
+    """One k's assembly: unitigs + links (GFA-style, overlap k-1)."""
+    kmers, counts = count_kmers(read_code_arrays, k, min_count)
+    if len(kmers) == 0:
+        return [], []
+    unitigs = build_unitigs(kmers, counts, k)
+    unitigs = dedupe_unitigs(unitigs)
+    # tip clipping: drop short (< 2k) low-coverage unitigs with a dead end
+    links = link_unitigs(unitigs, k)
+    linked_starts = set(abs(a) for a, b in links) | \
+        set(abs(b) for a, b in links)
+    median_count = float(np.median([c for _, c in unitigs])) \
+        if unitigs else 0.0
+    kept = []
+    for idx, (seq, count) in enumerate(unitigs):
+        num = idx + 1
+        if len(seq) < 2 * k and count < median_count / 4 and \
+                num in linked_starts:
+            continue
+        kept.append((seq, count))
+    links = link_unitigs(kept, k)
+    return kept, links
+
+
+def save_graph_gfa(unitigs, links, k, filename):
+    with open(filename, 'w') as gfa:
+        for idx, (seq, count) in enumerate(unitigs):
+            gfa.write('S\t%d\t%s\tLN:i:%d\tdp:f:%.4f\n'
+                      % (idx + 1, seq, len(seq), count))
+        for a, b in links:
+            gfa.write('L\t%d\t%s\t%d\t%s\t%dM\n'
+                      % (abs(a), '+' if a > 0 else '-', abs(b),
+                         '+' if b > 0 else '-', k - 1))
+
+
+def score_graph(unitigs, links, k):
+    """1 / (contigs * (dead_ends + 2)) (ref spades_func.py:124-133)."""
+    if not unitigs:
+        return 0.0
+    has_fwd = set()
+    has_rev = set()
+    for a, b in links:
+        has_fwd.add(a)
+        has_rev.add(b)
+    dead_ends = 0
+    for idx in range(len(unitigs)):
+        num = idx + 1
+        if num not in has_fwd:
+            dead_ends += 1
+        if -num not in has_fwd:
+            dead_ends += 1
+    return 1.0 / (len(unitigs) * (dead_ends + 2))
+
+
+def estimate_insert_size(read_codes_1, read_codes_2, unitigs, k):
+    """Insert-size mean/stdev from read-pair placements on long unitigs."""
+    from ..ops.minimizer import MinimizerIndex
+    long_unitigs = [encode_sequence(seq) for seq, _ in unitigs
+                    if len(seq) >= 1000]
+    if not long_unitigs or not read_codes_1:
+        return 250.0, 50.0
+    index = MinimizerIndex(long_unitigs, k=15, w=5)
+    inserts = []
+    for c1, c2 in zip(read_codes_1[:2000], read_codes_2[:2000]):
+        h1 = index.lookup(c1, min_hits=2)
+        h2 = index.lookup(c2, min_hits=2)
+        if len(h1) != 1 or len(h2) != 1:
+            continue
+        a, b = h1[0], h2[0]
+        if a.ref_id != b.ref_id or a.rev_comp == b.rev_comp:
+            continue
+        if a.rev_comp:
+            a, b = b, a
+        insert = (b.ref_end + len(c2) - b.read_end) - \
+            (a.ref_start - a.read_start)
+        if 0 < insert < 2000:
+            inserts.append(insert)
+    if len(inserts) < 10:
+        return 250.0, 50.0
+    return float(np.mean(inserts)), float(np.std(inserts))
+
+
+def build_best_short_read_graph(args):
+    """Multi-k assembly, choosing the best-scoring k
+    (ref get_best_spades_graph, spades_func.py:32-161)."""
+    from ..graph.assembly_graph import AssemblyGraph
+
+    log.log_section_header('Assembling short reads with de Bruijn graphs')
+    read_arrays = []
+    pairs_1, pairs_2 = [], []
+    if args.short1:
+        d1, names1, _ = load_long_reads(args.short1, silent=True)
+        arrays1 = [d1[n].codes for n in names1]
+        read_arrays += arrays1
+        pairs_1 = arrays1
+    if args.short2:
+        d2, names2, _ = load_long_reads(args.short2, silent=True)
+        arrays2 = [d2[n].codes for n in names2]
+        read_arrays += arrays2
+        pairs_2 = arrays2
+    if args.unpaired:
+        d3, names3, _ = load_long_reads(args.unpaired, silent=True)
+        read_arrays += [d3[n].codes for n in names3]
+    if not read_arrays:
+        from ..misc import quit_with_error
+        quit_with_error('no short reads available for assembly')
+
+    read_lengths = [len(a) for a in read_arrays]
+    if args.kmers:
+        kmer_range = sorted(int(x) for x in args.kmers.split(','))
+    else:
+        kmer_range = get_kmer_range(read_lengths, args.kmer_count,
+                                    args.min_kmer_frac, args.max_kmer_frac)
+    log.log('k-mer range: ' + ', '.join(str(k) for k in kmer_range))
+
+    best = None
+    for k in kmer_range:
+        unitigs, links = assemble_short_reads(read_arrays, k)
+        score = score_graph(unitigs, links, k)
+        log.log('  k=%d: %d contigs, score %.2e'
+                % (k, len(unitigs), score))
+        if unitigs and (best is None or score > best[0]):
+            best = (score, k, unitigs, links)
+    if best is None:
+        from ..misc import quit_with_error
+        quit_with_error('short-read assembly produced no contigs')
+
+    _, k, unitigs, links = best
+    insert_mean, insert_dev = estimate_insert_size(pairs_1, pairs_2,
+                                                   unitigs, k)
+    graph_file = gfa_path(args.out, 1, 'spades_graph')
+    save_graph_gfa(unitigs, links, k, graph_file)
+    graph = AssemblyGraph(graph_file, k - 1, insert_size_mean=insert_mean,
+                          insert_size_deviation=insert_dev)
+    graph.clean(args.depth_filter, args.largest_component)
+    return graph

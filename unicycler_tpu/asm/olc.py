@@ -449,12 +449,12 @@ class OLCAssembler(object):
                 continue
             start = name_map[base_u] + sign_u
             end = name_map[base_v] + sign_v
+            if end not in graph.forward_links[start]:
+                graph.forward_links[start].append(end)
+                graph.reverse_links[end].append(start)
             link = (start, end)
-            if link in graph.links:
-                continue
-            graph.forward_links[start].append(end)
-            graph.reverse_links[end].append(start)
-            graph.links[link] = StringGraphLink(start, end)
+            if link not in graph.links:
+                graph.links[link] = StringGraphLink(start, end)
             graph.links[link].seg_1_overlap = ol
             comp = (flip_segment_name(end), flip_segment_name(start))
             if comp not in graph.links:

@@ -345,6 +345,10 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     # On TPU-class backends the Pallas kernel does the row loop on-core;
     # the XLA lax.scan path stays for CPU (tests) and as reference.
     use_pallas = jax.devices()[0].platform != 'cpu'
+    # Phase 1: dispatch every bucket slice (device work queues up) and
+    # start async device->host copies, so compute, the tunnel transfer,
+    # and host decoding all overlap.
+    pending = []
     for (n_pad, m_pad), all_idxs in buckets.items():
         # Fixed batch slice size on the Pallas path: one compiled shape
         # per (n_pad, m_pad) regardless of how many tasks are queued.
@@ -380,8 +384,17 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                 score, end_i, end_j, moves = banded_batch_device(
                     qb, r_ext, cb, n_acts, m_acts, scoring, config, W,
                     need_cigar)
-            _emit_results(results, idxs, score, end_i, end_j, moves,
-                          cb, n_acts, m_acts, need_cigar, config)
+            if need_cigar:
+                # Slice off padding tasks now; the actual device->host
+                # fetch happens in phase 2. (copy_to_host_async is NOT
+                # used: on the axon backend it degrades to ~0.03 MB/s.)
+                moves = moves[:len(idxs)]
+            pending.append((idxs, score, end_i, end_j, moves, cb, n_acts,
+                            m_acts))
+    # Phase 2: collect and decode.
+    for (idxs, score, end_i, end_j, moves, cb, n_acts, m_acts) in pending:
+        _emit_results(results, idxs, score, end_i, end_j, moves,
+                      cb, n_acts, m_acts, need_cigar, config)
     return results
 
 
@@ -392,9 +405,8 @@ def _emit_results(results, idxs, score, end_i, end_j, moves, cb,
     end_i = np.asarray(end_i)
     end_j = np.asarray(end_j)
     if need_cigar:
-        # Fetch only the real tasks' move planes (the batch may be padded
-        # to the kernel's tile size, and the tunnel D2H is slow).
-        moves = np.asarray(moves[:len(idxs)])
+        # Padding tasks were already sliced off before the async copy.
+        moves = np.asarray(moves)
     for bi, i in enumerate(idxs):
         if score[bi] <= NEG // 2:
             # Degenerate task: no valid path within the band.

@@ -1,0 +1,375 @@
+"""The assembly pipeline orchestrator and CLI.
+
+Capability parity with reference unicycler/unicycler.py:48-489: the hybrid
+/ short-only / long-only pipeline as a linear flow with numbered
+checkpoint GFAs. Differences by design:
+  * No subprocesses: the OLC assembler, polisher, and start-gene search
+    are in-framework (asm/, pipeline/rotation).
+  * The short-read (SPAdes-role) de Bruijn graph can be supplied via
+    --short_read_graph or resumed from a previous run's checkpoint
+    (the reference itself defines this resume point, unicycler.py:71-74);
+    the built-in de Bruijn assembler lives in asm/debruijn.
+"""
+
+import argparse
+import itertools
+import os
+import random
+import shutil
+import sys
+
+from .. import log, settings
+from ..align.scoring import AlignmentScoringScheme
+from ..align.semi_global import (get_auto_score_threshold,
+                                 load_sam_alignments,
+                                 semi_global_align_long_reads)
+from ..bridges.long_read import create_long_read_bridges
+from ..bridges.long_read_simple import create_simple_long_read_bridges
+from ..bridges.loop_unroll import create_loop_unrolling_bridges
+from ..bridges.miniasm import create_miniasm_bridges
+from ..bridges.spades_contig import create_spades_contig_bridges
+from ..graph.assembly_graph import AssemblyGraph
+from ..graph.copy_depth import determine_copy_depth
+from ..io.fastx import (Reference, get_read_nickname_dict, load_long_reads,
+                        load_references)
+from ..misc import get_percentile, gfa_path, int_to_str, quit_with_error
+from ..version import __version__
+from .rotation import rotate_completed_replicons
+
+
+def get_arguments(args=None):
+    """CLI argument surface (parity with ref unicycler.py:192-469)."""
+    parser = argparse.ArgumentParser(
+        description='unicycler_tpu: TPU-native hybrid assembly pipeline',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument('-1', '--short1', help='FASTQ file of first short '
+                        'reads in each pair')
+    parser.add_argument('-2', '--short2', help='FASTQ file of second short '
+                        'reads in each pair')
+    parser.add_argument('-s', '--unpaired', help='FASTQ file of unpaired '
+                        'short reads')
+    parser.add_argument('-l', '--long', help='FASTQ or FASTA file of long '
+                        'reads')
+    parser.add_argument('-o', '--out', required=True,
+                        help='Output directory')
+    parser.add_argument('--verbosity', type=int, default=1)
+    parser.add_argument('--keep', type=int, default=1,
+                        help='Level of file retention (0-3)')
+    parser.add_argument('-t', '--threads', type=int, default=1)
+    parser.add_argument('--mode', choices=['conservative', 'normal', 'bold'],
+                        default='normal')
+    parser.add_argument('--min_fasta_length', type=int, default=100)
+    parser.add_argument('--linear_seqs', type=int, default=0,
+                        help='Expected number of linear sequences')
+    parser.add_argument('--min_anchor_seg_len', type=int, default=None)
+    parser.add_argument('--scores', default='3,-6,-5,-2',
+                        help='Alignment scoring scheme')
+    parser.add_argument('--low_score', type=float, default=None)
+    parser.add_argument('--min_component_size', type=int, default=1000)
+    parser.add_argument('--min_dead_end_size', type=int, default=1000)
+    parser.add_argument('--depth_filter', type=float, default=0.25)
+    parser.add_argument('--largest_component', action='store_true')
+    parser.add_argument('--no_miniasm', action='store_true')
+    parser.add_argument('--no_simple_bridges', action='store_true')
+    parser.add_argument('--no_long_read_alignment', action='store_true')
+    parser.add_argument('--no_rotate', action='store_true')
+    parser.add_argument('--existing_long_read_assembly', default=None)
+    parser.add_argument('--short_read_graph', default=None,
+                        help='Existing short-read assembly graph (GFA) to '
+                        'use instead of running the built-in assembler')
+    parser.add_argument('--contamination', default=None)
+    parser.add_argument('--start_genes', default=None,
+                        help='Protein FASTA of replicon start genes '
+                        '(dnaA/repA) for rotation')
+    parser.add_argument('--start_gene_id', type=float, default=90.0)
+    parser.add_argument('--start_gene_cov', type=float, default=95.0)
+    parser.add_argument('--kmer_count', type=int, default=8)
+    parser.add_argument('--min_kmer_frac', type=float, default=0.2)
+    parser.add_argument('--max_kmer_frac', type=float, default=0.95)
+    parser.add_argument('--kmers', default=None)
+    parser.add_argument('--version', action='version',
+                        version='unicycler_tpu v' + __version__)
+    parsed = parser.parse_args(args)
+    parsed.mode = {'conservative': 0, 'normal': 1, 'bold': 2}[parsed.mode]
+    parsed.min_bridge_qual = [settings.CONSERVATIVE_MIN_BRIDGE_QUAL,
+                              settings.NORMAL_MIN_BRIDGE_QUAL,
+                              settings.BOLD_MIN_BRIDGE_QUAL][parsed.mode]
+    return parsed
+
+
+def main(arg_list=None):
+    random.seed(0)   # run-to-run determinism (ref unicycler.py:52)
+    args = get_arguments(arg_list)
+    os.makedirs(args.out, exist_ok=True)
+    log.logger = log.Log(os.path.join(args.out, 'unicycler_tpu.log'),
+                         stdout_verbosity_level=args.verbosity)
+
+    short_reads_available = bool(args.short1) or bool(args.unpaired)
+    long_reads_available = bool(args.long)
+    if not short_reads_available and not long_reads_available:
+        quit_with_error('no input reads provided')
+
+    counter = itertools.count(start=1)
+    bridges = []
+
+    if short_reads_available or args.short_read_graph:
+        graph = obtain_short_read_graph(args, counter)
+        determine_copy_depth(graph)
+        if args.keep > 0:
+            graph.save_to_gfa(gfa_path(args.out, next(counter),
+                                       'depth_filter'),
+                              save_copy_depth_info=True, newline=True,
+                              include_insert_size=True)
+        clean_up_spades_graph(graph)
+        if args.keep > 0:
+            graph.save_to_gfa(gfa_path(args.out, next(counter),
+                                       'overlaps_removed'),
+                              save_copy_depth_info=True, newline=True,
+                              include_insert_size=True)
+        anchor_segments = get_anchor_segments(graph, args.min_anchor_seg_len)
+        if args.mode != 0:
+            bridges += create_spades_contig_bridges(graph, anchor_segments)
+            bridges += create_loop_unrolling_bridges(graph, anchor_segments)
+        graph.paths = {}
+    else:
+        graph = None
+        anchor_segments = []
+
+    scoring_scheme = AlignmentScoringScheme(args.scores)
+
+    if long_reads_available:
+        read_dict, read_names, long_read_filename = \
+            load_long_reads(args.long, output_dir=args.out)
+        read_nicknames = get_read_nickname_dict(read_names)
+    else:
+        read_dict, read_names, long_read_filename, read_nicknames = \
+            {}, [], '', {}
+
+    string_graph = None
+    if long_reads_available and not args.no_miniasm:
+        from ..asm.hybrid import MiniasmFailure, make_miniasm_string_graph
+        try:
+            string_graph = make_miniasm_string_graph(
+                graph, read_dict, long_read_filename, scoring_scheme,
+                read_nicknames, counter, args, anchor_segments,
+                args.existing_long_read_assembly)
+        except MiniasmFailure as e:
+            log.log('long-read assembly failed: %s' % e)
+            string_graph = None
+
+    if graph is None and string_graph is None:
+        quit_with_error('assembly failed: no graph produced')
+
+    if graph is not None and long_reads_available:
+        if string_graph is not None and not args.no_miniasm:
+            bridges += create_miniasm_bridges(
+                graph, string_graph, anchor_segments, scoring_scheme,
+                args.verbosity, args.min_bridge_qual)
+        if not args.no_simple_bridges:
+            bridges += create_simple_long_read_bridges(
+                graph, args.out, args.keep, args.threads, read_dict,
+                long_read_filename, scoring_scheme, anchor_segments)
+        if not args.no_long_read_alignment:
+            read_names, min_scaled_score, min_alignment_length = \
+                align_long_reads_to_assembly_graph(
+                    graph, anchor_segments, args, read_dict, read_names,
+                    long_read_filename)
+            expected_linear_seqs = args.linear_seqs > 0
+            bridges += create_long_read_bridges(
+                graph, read_dict, read_names, anchor_segments,
+                args.verbosity, min_scaled_score, args.threads,
+                scoring_scheme, min_alignment_length, expected_linear_seqs,
+                args.min_bridge_qual)
+
+    if graph is not None:
+        seg_nums_used_in_bridges = graph.apply_bridges(
+            bridges, args.verbosity, args.min_bridge_qual)
+        if args.keep > 0:
+            graph.save_to_gfa(gfa_path(args.out, next(counter),
+                                       'bridges_applied'),
+                              save_seg_type_info=True,
+                              save_copy_depth_info=True, newline=True)
+        graph.clean_up_after_bridging_1(anchor_segments,
+                                        seg_nums_used_in_bridges)
+        graph.clean_up_after_bridging_2(
+            seg_nums_used_in_bridges, args.min_component_size,
+            args.min_dead_end_size, graph, anchor_segments)
+        graph.merge_all_possible(anchor_segments, args.mode)
+        graph.final_clean()
+        if args.keep > 0:
+            graph.save_to_gfa(gfa_path(args.out, next(counter),
+                                       'final_clean'))
+        log.log('')
+        graph.print_component_table()
+    else:
+        graph = string_graph
+
+    if not args.no_rotate:
+        rotate_completed_replicons(graph, args, counter)
+
+    log.log_section_header('Assembly complete')
+    final_fasta = os.path.join(args.out, 'assembly.fasta')
+    final_gfa = os.path.join(args.out, 'assembly.gfa')
+    graph.save_to_gfa(final_gfa)
+    graph.save_to_fasta(final_fasta, min_length=args.min_fasta_length)
+    return graph
+
+
+def obtain_short_read_graph(args, counter):
+    """Short-read assembly graph: user-supplied GFA, a previous run's
+    checkpoint (the reference's resume point, unicycler.py:71-74), or the
+    built-in de Bruijn assembler."""
+    if args.short_read_graph:
+        log.log('Using provided short-read graph: ' + args.short_read_graph)
+        return AssemblyGraph(args.short_read_graph, None)
+    resume_gfa = gfa_path(args.out, 2, 'depth_filter')
+    if os.path.isfile(resume_gfa):
+        log.log('Resuming from existing graph: ' + resume_gfa)
+        return AssemblyGraph(resume_gfa, None)
+    from ..asm.debruijn import build_best_short_read_graph
+    return build_best_short_read_graph(args)
+
+
+def clean_up_spades_graph(graph):
+    """Overlap removal + junction/zero-length/segment cleanup
+    (ref unicycler.py:883-900)."""
+    log.log_section_header('Cleaning graph')
+    graph.remove_all_overlaps()
+    while True:
+        graph.repair_multi_way_junctions()
+        graph.remove_unnecessary_links()
+        graph.expand_repeats()
+        if not graph.remove_zero_length_segs():
+            break
+    while True:
+        if not graph.merge_small_segments(5):
+            break
+    graph.normalise_read_depths()
+    graph.renumber_segments()
+    graph.sort_link_order()
+
+
+def get_anchor_segments(graph, min_anchor_seg_len):
+    """Anchor-contig selection (ref unicycler.py:495-570)."""
+    graph_n50 = graph.get_n_segment_length(50.0)
+    graph_n80 = graph.get_n_segment_length(80.0)
+    graph_n99 = graph.get_n_segment_length(99.0)
+
+    anchor_seg_nums = set(
+        x.number for x in graph.get_single_copy_segments()
+        if x.get_length() >= graph_n99
+        and x.get_length() >= settings.MIN_SINGLE_COPY_LENGTH)
+    for component in graph.get_connected_components():
+        if graph.is_component_complete(component):
+            anchor_seg_nums.add(component[0])
+    anchor_seg_nums |= set(x.number
+                           for x in graph.get_no_copy_depth_segments()
+                           if x.get_length() >= graph_n80)
+    anchor_seg_nums |= set(x.number for x in graph.segments.values()
+                           if x.get_length() >= graph_n50)
+
+    # Rescue dead-end-free components with no anchors (ref :529-553).
+    for component in graph.get_connected_components():
+        dead_ends = sum(graph.dead_end_count(seg) for seg in component)
+        anchors = sum(1 for seg in component if seg in anchor_seg_nums)
+        if dead_ends > 0 or anchors > 0:
+            continue
+        new_anchor_segs = [seg for seg in component
+                           if graph.is_seg_num_single_copy(seg)]
+        if not new_anchor_segs:
+            for seg in sorted(component,
+                              key=lambda x: graph.segments[x].get_length(),
+                              reverse=True):
+                if len(graph.forward_links.get(seg, [])) == 1 or \
+                        len(graph.reverse_links.get(seg, [])) == 1:
+                    new_anchor_segs = [seg]
+                    break
+        anchor_seg_nums |= set(new_anchor_segs)
+
+    if min_anchor_seg_len is None:
+        min_anchor_seg_len = 0
+    anchor_segments = sorted(
+        [graph.segments[x] for x in anchor_seg_nums
+         if graph.segments[x].get_length() >= min_anchor_seg_len],
+        reverse=True, key=lambda x: x.get_length())
+    log.log(int_to_str(len(anchor_segments)) + ' anchor segments out of '
+            + int_to_str(len(graph.segments)) + ' total segments')
+    return anchor_segments
+
+
+def sam_references_match(sam_filename, assembly_graph):
+    """(ref unicycler.py:573-597)"""
+    ref_numbers = set()
+    with open(sam_filename, 'rt') as sam_file:
+        for line in sam_file:
+            if not line.startswith('@'):
+                break
+            if not line.startswith('@SQ'):
+                continue
+            parts = line.strip().split()
+            if len(parts) < 2:
+                continue
+            name_parts = parts[1].split(':')
+            if len(name_parts) < 2:
+                continue
+            try:
+                ref_numbers.add(int(name_parts[1]))
+            except ValueError:
+                pass
+    return ref_numbers.issubset(set(assembly_graph.segments.keys()))
+
+
+def align_long_reads_to_assembly_graph(graph, anchor_segments, args,
+                                       read_dict, read_names,
+                                       long_read_filename):
+    """Semi-global alignment stage with SAM reuse + min-score percentile
+    (ref unicycler.py:808-881)."""
+    alignment_dir = os.path.join(args.out, 'read_alignment')
+    os.makedirs(alignment_dir, exist_ok=True)
+    alignments_sam = os.path.join(alignment_dir, 'long_read_alignments.sam')
+    scoring_scheme = AlignmentScoringScheme(args.scores)
+    min_alignment_length = settings.MIN_LONG_READ_ALIGNMENT_LENGTH
+    anchor_segment_names = set(str(x.number) for x in anchor_segments)
+
+    references = [Reference(str(num), seg.forward_sequence)
+                  for num, seg in sorted(graph.segments.items())]
+    reference_dict = {x.name: x for x in references}
+
+    if os.path.isfile(alignments_sam) and \
+            sam_references_match(alignments_sam, graph):
+        log.log('\nSAM file already exists; reusing alignments: '
+                + alignments_sam)
+        alignments = load_sam_alignments(alignments_sam, read_dict,
+                                         reference_dict, scoring_scheme)
+        for alignment in alignments:
+            read_dict[alignment.read.name].alignments.append(alignment)
+    else:
+        allowed_overlap = int(round(graph.overlap
+                                    * settings.ALLOWED_ALIGNMENT_OVERLAP))
+        semi_global_align_long_reads(
+            references, None, read_dict, read_names, long_read_filename,
+            args.threads, scoring_scheme, [args.low_score], False,
+            min_alignment_length, alignments_sam, None, allowed_overlap,
+            0, args.contamination, args.verbosity,
+            single_copy_segment_names=anchor_segment_names)
+        if args.keep < 2:
+            shutil.rmtree(alignment_dir, ignore_errors=True)
+
+    if args.contamination:
+        filtered_names, filtered_dict = [], {}
+        for read_name in read_names:
+            if not read_dict[read_name].mostly_aligns_to_contamination():
+                filtered_names.append(read_name)
+                filtered_dict[read_name] = read_dict[read_name]
+        read_names = filtered_names
+        read_dict.clear()
+        read_dict.update(filtered_dict)
+
+    contained = [x for x in read_dict.values()
+                 if x.has_one_contained_alignment()]
+    contained_scores = []
+    for read in contained:
+        contained_scores += [x.scaled_score for x in read.alignments]
+    min_scaled_score = get_percentile(contained_scores,
+                                      settings.MIN_SCALED_SCORE_PERCENTILE)
+    return read_names, min_scaled_score, min_alignment_length
