@@ -144,6 +144,33 @@ def _make_tasks(read, ref_list, clusters, band, fine_k=10) -> List[_Task]:
     return tasks
 
 
+def _select_winner_tasks(tasks, prelim):
+    """Indices of tasks worth a traceback pass: per read, tasks whose
+    score-only result is within 95% of the best among tasks covering an
+    overlapping part of the read (lower-scored overlapping candidates
+    would be dropped by remove_conflicting_alignments anyway)."""
+    by_read = {}
+    for i, (task, pa) in enumerate(zip(tasks, prelim)):
+        if pa is None or pa.score <= 0:
+            continue
+        span = (int(task.banded.corridor_read[0]),
+                int(task.banded.corridor_read[-1]))
+        if task.rev_comp:
+            read_len = len(task.banded.q)
+            span = (read_len - span[1], read_len - span[0])
+        by_read.setdefault(id(task.read), []).append((i, span, pa.score))
+    winners = []
+    for entries in by_read.values():
+        for i, span, score in entries:
+            best_overlapping = max(
+                (s for _, other, s in entries
+                 if min(span[1], other[1]) > max(span[0], other[0])),
+                default=score)
+            if score >= 0.95 * best_overlapping:
+                winners.append(i)
+    return sorted(winners)
+
+
 def align_reads_to_refs(reads, references, scoring_scheme,
                         sensitivity_level=0, keep_bad=False,
                         low_score_threshold=None,
@@ -173,6 +200,16 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                                      band))
         if not tasks:
             continue
+        # Two-phase execution: a cheap score-only pass over every task
+        # first, then the full traceback pass only for tasks that can
+        # survive the per-read conflict filter. This cuts the dominant
+        # cost (traceback transfer over the ~30 MB/s tunnel) by the
+        # multi-candidate factor.
+        prelim = banded_ops.align_banded(
+            [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
+            band=band, need_cigar=False)
+        winners = _select_winner_tasks(tasks, prelim)
+        tasks = [tasks[i] for i in winners]
         results = banded_ops.align_banded(
             [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
             band=band, need_cigar=True)

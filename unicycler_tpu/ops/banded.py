@@ -385,10 +385,13 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                     qb, r_ext, cb, n_acts, m_acts, scoring, config, W,
                     need_cigar)
             if need_cigar:
-                # Slice off padding tasks now; the actual device->host
-                # fetch happens in phase 2. (copy_to_host_async is NOT
-                # used: on the axon backend it degrades to ~0.03 MB/s.)
+                # Slice off padding tasks and start the host copy so it
+                # overlaps the remaining launches.
                 moves = moves[:len(idxs)]
+                try:
+                    moves.copy_to_host_async()
+                except AttributeError:
+                    pass
             pending.append((idxs, score, end_i, end_j, moves, cb, n_acts,
                             m_acts))
     # Phase 2: collect and decode.

@@ -65,10 +65,14 @@ def batch_align(q_list: List[np.ndarray], r_list: List[np.ndarray],
         else:
             large_idx.append(i)
     if small_idx:
+        # A diagonal band only makes sense without free starts (a
+        # free-start alignment may begin at any diagonal).
+        diag_band = band if not (config.free_start_s1
+                                 or config.free_start_s2) else None
         small = pw.align_pairs([q_list[i] for i in small_idx],
                                [r_list[i] for i in small_idx],
                                scoring=scoring, config=config,
-                               need_cigar=need_cigar)
+                               need_cigar=need_cigar, band=diag_band)
         for i, pa in zip(small_idx, small):
             results[i] = pa
     if large_idx:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG = -(2 ** 30)
+NEG_BAND = 2 ** 28          # 'unbanded' diagonal bound sentinel
 
 # H-source codes in the traceback byte (bits 0-1).
 DIAG, E_SRC, F_SRC = 0, 1, 2
@@ -81,9 +82,12 @@ def _gap_cost(length, scoring):
                      scoring.gap_open + (length - 1) * scoring.gap_extend, 0)
 
 
-def _align_single(q, r, n_act, m_act, scoring, config, need_moves):
-    """DP over one padded pair. q:(n,) int8, r:(m,) int8. Returns
-    (score, end_i, end_j, moves or ())."""
+def _align_single(q, r, n_act, m_act, lower_diag, upper_diag, scoring,
+                  config, need_moves):
+    """DP over one padded pair. q:(n,) int8, r:(m,) int8. Cells outside
+    the diagonal band lower_diag <= (i - j) <= upper_diag are masked out
+    (SeqAn banded-globalAlignment semantics, ref global_align.cpp:56-75;
+    pass +/-2^30 for unbanded). Returns (score, end_i, end_j, moves)."""
     n_pad = q.shape[0]
     m_pad = r.shape[0]
     m1 = m_pad + 1
@@ -98,6 +102,7 @@ def _align_single(q, r, n_act, m_act, scoring, config, need_moves):
         h0 = jnp.zeros(m1, jnp.int32)
     else:
         h0 = jnp.where(js > 0, open_ + (js - 1) * ext, 0).astype(jnp.int32)
+    h0 = jnp.where((-js >= lower_diag) & (-js <= upper_diag), h0, NEG)
     f0 = jnp.full(m1, NEG, jnp.int32)
 
     def col0_bound(i):
@@ -131,6 +136,12 @@ def _align_single(q, r, n_act, m_act, scoring, config, need_moves):
 
         h = jnp.maximum(g, e)
         h = h.at[0].set(hb)
+        # band mask: diagonal d = i - j must lie within [lower, upper]
+        d = i - js
+        in_band = (d >= lower_diag) & (d <= upper_diag)
+        h = jnp.where(in_band, h, NEG)
+        e = jnp.where(in_band, e, NEG)
+        f = jnp.where(in_band, f, NEG)
 
         e_prev_col = jnp.concatenate([jnp.array([NEG], jnp.int32), e[:-1]])
         e_ext_bit = (e == e_prev_col + ext) & (e_prev_col > NEG // 2)
@@ -187,11 +198,16 @@ def _align_single(q, r, n_act, m_act, scoring, config, need_moves):
 @functools.partial(jax.jit, static_argnames=('scoring', 'config', 'need_moves'))
 def align_batch_device(q_batch, q_lens, r_batch, r_lens,
                        scoring: Scoring, config: AlignConfig,
-                       need_moves: bool):
+                       need_moves: bool, lower_diags=None, upper_diags=None):
     """vmapped batched DP. q_batch:(B,n) int8, r_batch:(B,m) int8."""
+    if lower_diags is None:
+        lower_diags = jnp.full(q_batch.shape[0], -NEG_BAND, jnp.int32)
+    if upper_diags is None:
+        upper_diags = jnp.full(q_batch.shape[0], NEG_BAND, jnp.int32)
     fn = functools.partial(_align_single, scoring=scoring, config=config,
                            need_moves=need_moves)
-    return jax.vmap(fn)(q_batch, r_batch, q_lens, r_lens)
+    return jax.vmap(fn)(q_batch, r_batch, q_lens, r_lens, lower_diags,
+                        upper_diags)
 
 
 # ---------------------------------------------------------------------------
@@ -296,16 +312,24 @@ def align_pairs(q_list, r_list, scoring=DEFAULT_SCORING, config=SEMI_GLOBAL,
     """Convenience host API: align code-array pairs, return PairAlignments.
 
     All pairs are padded into one rectangular batch (callers should bucket
-    by length for efficiency). `band` is accepted for API parity with the
-    reference's banded fully-global alignment (ref global_align.cpp:56-75);
-    the full DP subsumes it whenever the optimal path lies in the band.
+    by length for efficiency). When `band` is given, the DP is restricted
+    to the SeqAn-style diagonal band expanded by the length difference
+    (ref global_align.cpp:56-75): lower = -band - max(0, m-n),
+    upper = band + max(0, n-m).
     """
     from .encode import pack_pairs
     if not q_list:
         return []
     q_batch, q_lens, r_batch, r_lens = pack_pairs(q_list, r_list)
+    if band is not None:
+        diffs = r_lens.astype(np.int64) - q_lens.astype(np.int64)
+        lower = (-band - np.maximum(0, diffs)).astype(np.int32)
+        upper = (band + np.maximum(0, -diffs)).astype(np.int32)
+    else:
+        lower = upper = None
     score, end_i, end_j, moves = align_batch_device(
-        q_batch, q_lens, r_batch, r_lens, scoring, config, need_cigar)
+        q_batch, q_lens, r_batch, r_lens, scoring, config, need_cigar,
+        lower, upper)
     score = np.asarray(score)
     end_i = np.asarray(end_i)
     end_j = np.asarray(end_j)

@@ -89,13 +89,19 @@ def pack_moves_rows(moves4):
     return packed
 
 
-def _make_kernel(T, W, scoring: Scoring, config: AlignConfig):
+def _make_kernel(T, W, scoring: Scoring, config: AlignConfig,
+                 need_moves: bool = True):
     match, mismatch = int(scoring.match), int(scoring.mismatch)
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
 
-    def kernel(cellinfo_ref, h0_ref, nact_ref,
-               moves_ref, hatn_ref, best_ref,
-               h_scr, f_scr, bestv_scr, besti_scr):
+    def kernel(cellinfo_ref, h0_ref, nact_ref, *out_and_scratch):
+        if need_moves:
+            (moves_ref, hatn_ref, best_ref,
+             h_scr, f_scr, bestv_scr, besti_scr) = out_and_scratch
+        else:
+            (hatn_ref, best_ref,
+             h_scr, f_scr, bestv_scr, besti_scr) = out_and_scratch
+            moves_ref = None
         chunk = pl.program_id(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
         n_act = nact_ref[:, 0:1]                      # (BT, 1)
@@ -152,11 +158,12 @@ def _make_kernel(T, W, scoring: Scoring, config: AlignConfig):
             e_prev = _shift_right_one(e)
             e_ext_bit = (e == e_prev + ext) & (e_prev > NEG // 2)
 
-            hsrc = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
-            moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
-                      | jnp.where(f_ext_bit, 8, 0))
-            packed = pack_moves_rows(moves4)
-            moves_ref[:, pl.ds(t, 1), :] = packed[:, None, :]
+            if need_moves:
+                hsrc = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
+                moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
+                          | jnp.where(f_ext_bit, 8, 0))
+                packed = pack_moves_rows(moves4)
+                moves_ref[:, pl.ds(t, 1), :] = packed[:, None, :]
 
             # running best last-column candidate (strict > keeps first max,
             # matching jnp.argmax semantics in the XLA end selection)
@@ -264,9 +271,27 @@ def pallas_banded_batch(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
                        jnp.where(j0 == 0, 0, NEG))
     h0 = jnp.where(j0 > m_acts[:, None], NEG, h0).astype(jnp.int32)
 
-    kernel = _make_kernel(T, W, scoring, config)
+    kernel = _make_kernel(T, W, scoring, config, need_moves)
     grid = (B // BT, n_chunks)
-    moves, h_at_n, best = pl.pallas_call(
+    out_specs = []
+    out_shape = []
+    if need_moves:
+        out_specs.append(pl.BlockSpec((BT, T, W // 8),
+                                      lambda b, ch: (b, ch, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, n_pad, W // 8),
+                                              jnp.int32))
+    out_specs += [
+        pl.BlockSpec((BT, W), lambda b, ch: (b, 0),
+                     memory_space=pltpu.VMEM),           # h_at_n
+        pl.BlockSpec((BT, 128), lambda b, ch: (b, 0),
+                     memory_space=pltpu.VMEM),           # best lastcol
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((B, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, 128), jnp.int32),
+    ]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -277,19 +302,8 @@ def pallas_banded_batch(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
             pl.BlockSpec((BT, 1), lambda b, ch: (b, 0),
                          memory_space=pltpu.VMEM),           # n_act
         ],
-        out_specs=[
-            pl.BlockSpec((BT, T, W // 8), lambda b, ch: (b, ch, 0),
-                         memory_space=pltpu.VMEM),           # moves
-            pl.BlockSpec((BT, W), lambda b, ch: (b, 0),
-                         memory_space=pltpu.VMEM),           # h_at_n
-            pl.BlockSpec((BT, 128), lambda b, ch: (b, 0),
-                         memory_space=pltpu.VMEM),           # best lastcol
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_pad, W // 8), jnp.int32),
-            jax.ShapeDtypeStruct((B, W), jnp.int32),
-            jax.ShapeDtypeStruct((B, 128), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((BT, W), jnp.int32),    # H carry
             pltpu.VMEM((BT, W), jnp.int32),    # F carry
@@ -297,6 +311,11 @@ def pallas_banded_batch(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
             pltpu.VMEM((BT, 1), jnp.int32),    # best lastcol row
         ],
     )(cellinfo, h0, n_acts[:, None])
+    if need_moves:
+        moves, h_at_n, best = outs
+    else:
+        h_at_n, best = outs
+        moves = jnp.zeros((B, 1, 1), jnp.int32)
 
     # ---- End-cell selection (same semantics as ops/banded.py) -----------
     def select_ends(h_at_n_b, best_b, h0_b, c_b, n_act, m_act):
