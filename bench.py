@@ -53,7 +53,7 @@ def main():
     workload = load_workload()
 
     run_once(workload, scoring)          # warm-up: compile kernels
-    iters = 3
+    iters = 2
     t0 = time.time()
     total = 0
     for _ in range(iters):

@@ -256,7 +256,7 @@ def assemble_short_reads(read_code_arrays, k, min_count=2):
     return kept, links
 
 
-def save_graph_gfa(unitigs, links, k, filename):
+def save_graph_gfa(unitigs, links, k, filename, paths=None):
     with open(filename, 'w') as gfa:
         for idx, (seq, count) in enumerate(unitigs):
             gfa.write('S\t%d\t%s\tLN:i:%d\tdp:f:%.4f\n'
@@ -265,6 +265,93 @@ def save_graph_gfa(unitigs, links, k, filename):
             gfa.write('L\t%d\t%s\t%d\t%s\t%dM\n'
                       % (abs(a), '+' if a > 0 else '-', abs(b),
                          '+' if b > 0 else '-', k - 1))
+        overlap_cigar = '%dM' % (k - 1)
+        for i, path in enumerate(paths or []):
+            gfa.write('P\tPATH_%d\t%s\t%s\n' % (
+                i + 1,
+                ','.join('%d%s' % (abs(x), '+' if x > 0 else '-')
+                         for x in path),
+                ','.join([overlap_cigar] * (len(path) - 1))))
+
+
+def resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
+                             max_pairs=20000):
+    """Paired-end repeat resolution: produce contigs.paths-style records.
+
+    The role of SPAdes' exSPAnder stage (whose contigs.paths output feeds
+    SpadesContigBridge, ref bridge_spades_contig.py): read pairs mapping
+    to two different unitigs vote for signed adjacencies, and paths are
+    grown from each unitig through junctions wherever the votes
+    disambiguate the branch by a clear majority."""
+    from ..ops.minimizer import MinimizerIndex
+    if not pairs_1 or not pairs_2 or not links:
+        return []
+    unitig_codes = [encode_sequence(seq) for seq, _ in unitigs]
+    index = MinimizerIndex(unitig_codes, k=15, w=5)
+
+    votes = defaultdict(int)
+    step = max(1, len(pairs_1) // max_pairs)
+    for c1, c2 in zip(pairs_1[::step], pairs_2[::step]):
+        h1 = index.lookup(c1, min_hits=2)
+        h2 = index.lookup(c2, min_hits=2)
+        if len(h1) != 1 or len(h2) != 1:
+            continue
+        a, b = h1[0], h2[0]
+        if a.ref_id == b.ref_id:
+            continue
+        # mate 1 reads the fragment forward; mate 2 reads it reverse.
+        signed_a = (a.ref_id + 1) * (-1 if a.rev_comp else 1)
+        signed_b = (b.ref_id + 1) * (1 if b.rev_comp else -1)
+        votes[(signed_a, signed_b)] += 1
+        votes[(-signed_b, -signed_a)] += 1
+
+    forward = defaultdict(list)
+    for a, b in links:
+        forward[a].append(b)
+
+    def pick_next(current, path):
+        candidates = forward.get(current, [])
+        if len(candidates) == 1:
+            nxt = candidates[0]
+        elif len(candidates) > 1:
+            scored = sorted(((votes.get((current, c), 0), c)
+                             for c in candidates), reverse=True)
+            best_votes, nxt = scored[0]
+            second_votes = scored[1][0]
+            if best_votes < 3 or best_votes < 2 * max(1, second_votes):
+                return None
+        else:
+            return None
+        if path.count(nxt) + path.count(-nxt) >= 2:
+            return None
+        return nxt
+
+    paths = []
+    seen = set()
+    order = sorted(range(len(unitigs)),
+                   key=lambda i: -len(unitigs[i][0]))
+    for idx in order:
+        start = idx + 1
+        path = [start]
+        while len(path) < 50:
+            nxt = pick_next(path[-1], path)
+            if nxt is None:
+                break
+            path.append(nxt)
+        while len(path) < 50:
+            prev = pick_next(-path[0], path)
+            if prev is None:
+                break
+            path.insert(0, -prev)
+        if len(path) < 2:
+            continue
+        key = tuple(path)
+        flipped = tuple(-x for x in reversed(path))
+        if key in seen or flipped in seen:
+            continue
+        seen.add(key)
+        paths.append(path)
+    return paths
 
 
 def score_graph(unitigs, links, k):
@@ -347,14 +434,30 @@ def build_best_short_read_graph(args):
                                     args.min_kmer_frac, args.max_kmer_frac)
     log.log('k-mer range: ' + ', '.join(str(k) for k in kmer_range))
 
+    # Like the reference (get_best_spades_graph, spades_func.py:84-135),
+    # each k's graph is cleaned BEFORE scoring 1/(contigs*(dead_ends+2)).
+    import tempfile
     best = None
+    tmp_gfa = os.path.join(args.out, 'TEMP_k_graph.gfa')
     for k in kmer_range:
         unitigs, links = assemble_short_reads(read_arrays, k)
-        score = score_graph(unitigs, links, k)
-        log.log('  k=%d: %d contigs, score %.2e'
-                % (k, len(unitigs), score))
-        if unitigs and (best is None or score > best[0]):
+        if not unitigs:
+            log.log('  k=%d: no contigs' % k)
+            continue
+        save_graph_gfa(unitigs, links, k, tmp_gfa)
+        graph = AssemblyGraph(tmp_gfa, k - 1)
+        pop_graph_bubbles(graph)
+        graph.clean(args.depth_filter, args.largest_component)
+        dead_ends = graph.total_dead_end_count()
+        segment_count = len(graph.segments)
+        score = 1.0 / (segment_count * (dead_ends + 2)) \
+            if segment_count else 0.0
+        log.log('  k=%d: %d contigs, %d dead ends, score %.2e'
+                % (k, segment_count, dead_ends, score))
+        if best is None or score > best[0]:
             best = (score, k, unitigs, links)
+    if os.path.exists(tmp_gfa):
+        os.remove(tmp_gfa)
     if best is None:
         from ..misc import quit_with_error
         quit_with_error('short-read assembly produced no contigs')
@@ -362,9 +465,43 @@ def build_best_short_read_graph(args):
     _, k, unitigs, links = best
     insert_mean, insert_dev = estimate_insert_size(pairs_1, pairs_2,
                                                    unitigs, k)
+    paths = resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k)
+    log.log('  best k=%d; %d paired-end paths resolved' % (k, len(paths)))
     graph_file = gfa_path(args.out, 1, 'spades_graph')
-    save_graph_gfa(unitigs, links, k, graph_file)
+    save_graph_gfa(unitigs, links, k, graph_file, paths)
     graph = AssemblyGraph(graph_file, k - 1, insert_size_mean=insert_mean,
                           insert_size_deviation=insert_dev)
+    pop_graph_bubbles(graph)
     graph.clean(args.depth_filter, args.largest_component)
     return graph
+
+
+def pop_graph_bubbles(graph, max_length_diff=0.1):
+    """Pop simple 2-way bubbles: two segments sharing the same upstream
+    and downstream neighbours with similar lengths — keep the deeper one
+    and add its depth to the survivor (the role of SPAdes' bulge removal,
+    which the reference gets for free from the SPAdes subprocess)."""
+    from collections import defaultdict
+    while True:
+        by_ends = defaultdict(list)
+        for num in sorted(graph.segments):
+            ins = tuple(sorted(graph.reverse_links.get(num, [])))
+            outs = tuple(sorted(graph.forward_links.get(num, [])))
+            if ins and outs and len(ins) == 1 and len(outs) == 1:
+                by_ends[(ins, outs)].append(num)
+        removed = False
+        for (ins, outs), nums in by_ends.items():
+            if len(nums) < 2:
+                continue
+            nums.sort(key=lambda n: -graph.segments[n].depth)
+            keeper = graph.segments[nums[0]]
+            for other in nums[1:]:
+                other_seg = graph.segments[other]
+                longer = max(keeper.get_length(), other_seg.get_length())
+                if abs(keeper.get_length() - other_seg.get_length()) \
+                        <= max_length_diff * longer:
+                    keeper.depth += other_seg.depth
+                    graph.remove_segments([other])
+                    removed = True
+        if not removed:
+            break
