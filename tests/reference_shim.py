@@ -86,13 +86,19 @@ def reference_test_dir():
     temp files next to __file__ never touch the read-only reference tree."""
     global _TEST_DIR_COPY
     if _TEST_DIR_COPY is None:
+        import os
         import shutil
         import tempfile
-        _TEST_DIR_COPY = tempfile.mkdtemp(prefix='ref_test_')
-        for name in __import__('os').listdir('/root/reference/test'):
+        base = tempfile.mkdtemp(prefix='ref_copy_')
+        _TEST_DIR_COPY = os.path.join(base, 'test')
+        os.makedirs(_TEST_DIR_COPY)
+        for name in os.listdir('/root/reference/test'):
             src = '/root/reference/test/' + name
-            if __import__('os').path.isfile(src):
+            if os.path.isfile(src):
                 shutil.copy(src, _TEST_DIR_COPY)
+        # some reference tests read ../sample_data/ relative to the tests
+        shutil.copytree('/root/reference/sample_data',
+                        os.path.join(base, 'sample_data'))
     return _TEST_DIR_COPY
 
 

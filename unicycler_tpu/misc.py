@@ -61,9 +61,10 @@ def is_header_spades_format(contig_name: str) -> bool:
 
 
 def get_nice_header(header: str) -> str:
-    """Shorten a SPAdes-style header to its number, else first whitespace token."""
+    """Shorten a SPAdes-style header to NODE_<num>, else the first
+    whitespace token (ref misc.py get_nice_header)."""
     if is_header_spades_format(header):
-        return header.split('_')[1]
+        return '_'.join(header.split('_')[:2])
     return header.split()[0]
 
 
@@ -255,6 +256,128 @@ def gfa_path(out_dir, file_num, name):
 def quit_with_error(message):
     """Fatal-error exit path (ref misc.py:106)."""
     raise SystemExit('Error: ' + message)
+
+
+# ---------------------------------------------------------------------------
+# ANSI formatting (parity with ref misc.py:650-738)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from .log import (BOLD, DIM, END_FORMATTING, GREEN, RED, UNDERLINE, YELLOW)
+
+MAGENTA = '\033[35m'
+
+
+def colour(text, text_colour):
+    bold_text = 'bold' in text_colour
+    text_colour = text_colour.replace('bold', '')
+    underline_text = 'underline' in text_colour
+    text_colour = text_colour.replace('underline', '')
+    text_colour = text_colour.replace('_', '').replace(' ', '').lower()
+    if 'red' in text_colour:
+        out = RED
+    elif 'green' in text_colour:
+        out = GREEN
+    elif 'yellow' in text_colour:
+        out = YELLOW
+    elif 'dim' in text_colour:
+        out = DIM
+    else:
+        out = ''
+    if bold_text:
+        out += BOLD
+    if underline_text:
+        out += UNDERLINE
+    if not out:
+        return text
+    return out + text + END_FORMATTING
+
+
+def green(text):
+    return GREEN + text + END_FORMATTING
+
+
+def bold_green(text):
+    return GREEN + BOLD + text + END_FORMATTING
+
+
+def red(text):
+    return RED + text + END_FORMATTING
+
+
+def magenta(text):
+    return MAGENTA + text + END_FORMATTING
+
+
+def bold_red(text):
+    return RED + BOLD + text + END_FORMATTING
+
+
+def bold(text):
+    return BOLD + text + END_FORMATTING
+
+
+def bold_underline(text):
+    return BOLD + UNDERLINE + text + END_FORMATTING
+
+
+def underline(text):
+    return UNDERLINE + text + END_FORMATTING
+
+
+def dim(text):
+    return DIM + text + END_FORMATTING
+
+
+def dim_underline(text):
+    return DIM + UNDERLINE + text + END_FORMATTING
+
+
+def bold_yellow(text):
+    return YELLOW + BOLD + text + END_FORMATTING
+
+
+def bold_yellow_underline(text):
+    return YELLOW + BOLD + UNDERLINE + text + END_FORMATTING
+
+
+def bold_red_underline(text):
+    return RED + BOLD + UNDERLINE + text + END_FORMATTING
+
+
+def remove_formatting(text):
+    return _re.sub('\033.*?m', '', text)
+
+
+def len_without_format(text):
+    try:
+        return len(remove_formatting(text))
+    except TypeError:
+        return len(str(text))
+
+
+# SPAdes interop parsers (kept for tooling parity even though this
+# framework has no SPAdes dependency; semantics of ref misc.py:824-855).
+
+def spades_version_from_spades_output(spades_output):
+    for pattern in (r'v(\d+\.\d+\.\d+)', r'v\.(\d+\.\d+\.\d+)'):
+        m = _re.search(pattern, spades_output)
+        if m:
+            return m.group(1)
+    m = _re.search(r'\d+\.\d+\.\d+', spades_output)
+    return m.group() if m else ''
+
+
+def spades_status_from_version(version):
+    major_version = int(version.split('.')[0])
+    if major_version < 3:
+        return 'too old'
+    if major_version >= 5:
+        return 'too new'
+    if major_version == 3 and int(version.split('.')[1]) < 14:
+        return 'too old'
+    return 'good'
 
 
 # ---------------------------------------------------------------------------
