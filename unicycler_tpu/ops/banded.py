@@ -345,6 +345,11 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     # On TPU-class backends the Pallas kernel does the row loop on-core;
     # the XLA lax.scan path stays for CPU (tests) and as reference.
     use_pallas = jax.devices()[0].platform != 'cpu'
+    # When a device mesh is installed, batches shard over it (data
+    # parallel over reads; the reference's ThreadPool analog, SURVEY §2.3).
+    from ..parallel.mesh import get_default_mesh
+    mesh = get_default_mesh()
+    n_shards = mesh.devices.size if mesh is not None else 1
     # Phase 1: dispatch every bucket slice (device work queues up) and
     # start async device->host copies, so compute, the tunnel transfer,
     # and host decoding all overlap.
@@ -354,12 +359,15 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
         # per (n_pad, m_pad) regardless of how many tasks are queued.
         if use_pallas:
             from .pallas_banded import BT
-            slice_size = BT
+            slice_size = BT * n_shards
+        elif n_shards > 1:
+            slice_size = ((len(all_idxs) + n_shards - 1)
+                          // n_shards) * n_shards
         else:
             slice_size = len(all_idxs)
         for s in range(0, len(all_idxs), slice_size):
             idxs = all_idxs[s:s + slice_size]
-            B = slice_size if use_pallas else len(idxs)
+            B = slice_size if (use_pallas or n_shards > 1) else len(idxs)
             qb = np.full((B, n_pad), Q_PAD, np.int8)
             r_ext = np.full((B, m_pad + 2 * W), R_PAD, np.int8)
             cb = np.zeros((B, n_pad + 1), np.int32)
@@ -377,13 +385,18 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                 cb[bi, len(c):] = c[-1]
             if use_pallas:
                 from .pallas_banded import pallas_banded_batch
-                score, end_i, end_j, moves = pallas_banded_batch(
-                    qb, r_ext, cb, n_acts, m_acts, scoring, config, W,
-                    need_cigar)
+                kernel_fn = functools.partial(
+                    pallas_banded_batch, scoring=scoring, config=config,
+                    W=W, need_moves=need_cigar)
             else:
-                score, end_i, end_j, moves = banded_batch_device(
-                    qb, r_ext, cb, n_acts, m_acts, scoring, config, W,
-                    need_cigar)
+                kernel_fn = functools.partial(
+                    banded_batch_device, scoring=scoring, config=config,
+                    W=W, need_moves=need_cigar)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batched_call
+                kernel_fn = shard_batched_call(kernel_fn, mesh)
+            score, end_i, end_j, moves = kernel_fn(qb, r_ext, cb, n_acts,
+                                                   m_acts)
             if need_cigar:
                 # Slice off padding tasks and start the host copy so it
                 # overlaps the remaining launches.

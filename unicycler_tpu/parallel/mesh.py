@@ -31,6 +31,31 @@ def get_mesh(devices=None, axis_name='reads'):
     return Mesh(np.array(devices), (axis_name,))
 
 
+_DEFAULT_MESH = None
+
+
+def set_default_mesh(mesh):
+    """Install a mesh for the alignment drivers: batched kernel launches
+    shard their batch axis over it (data-parallel reads, SURVEY.md §2.3)."""
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+
+
+def get_default_mesh():
+    return _DEFAULT_MESH
+
+
+def shard_batched_call(fn, mesh, axis_name='reads'):
+    """Wrap a batched device function so its leading batch axis is sharded
+    over the mesh (each device computes its slice; outputs stay sharded)."""
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=P(axis_name),
+                             out_specs=P(axis_name), check_vma=False)
+    except TypeError:   # older jax spells it check_rep
+        return jax.shard_map(fn, mesh=mesh, in_specs=P(axis_name),
+                             out_specs=P(axis_name), check_rep=False)
+
+
 def sharded_banded_align(mesh, q_batch, r_ext_batch, c_batch, n_acts, m_acts,
                          scoring, config, W, need_moves=False,
                          axis_name='reads'):
