@@ -50,6 +50,49 @@ def test_short_read_only_assembly(tmp_path):
         'assembled %d bp vs truth %d bp' % (len(seq), len(genome))
 
 
+def test_long_read_only_assembly(tmp_path):
+    """Long reads alone: OLC assembly + polish should produce a single
+    unitig covering the genome (the reference's long-only mode,
+    unicycler.py:177-178)."""
+    from unicycler_tpu.pipeline.main import main
+    genome = rand_genome(12000, 77)
+    long_reads = make_fake_long_reads(genome, read_length=5000, step=300)
+    rl = str(tmp_path / 'long.fastq')
+    write_fastq(rl, long_reads)
+    out = str(tmp_path / 'out')
+    main(['-l', rl, '-o', out, '--verbosity', '0', '--keep', '0'])
+    fasta = load_fasta(os.path.join(out, 'assembly.fasta'))
+    assert fasta
+    longest = max((seq for _, seq in fasta), key=len)
+    # the longest unitig must cover nearly the whole genome at high identity
+    assert len(longest) >= len(genome) * 0.9
+    from unicycler_tpu.io.fastx import Read, Reference
+    from unicycler_tpu.align.scoring import AlignmentScoringScheme
+    from unicycler_tpu.align.semi_global import align_reads_to_refs
+    read = Read('contig', longest, None)
+    align_reads_to_refs([read], [Reference('truth', genome + genome)],
+                        AlignmentScoringScheme('3,-6,-5,-2'),
+                        low_score_threshold=70.9)
+    assert read.alignments
+    assert max(a.percent_identity for a in read.alignments) > 99.0
+
+
+def test_cli_surface(tmp_path, capsys):
+    """CLI basics (the role of reference test_help_text / test_options)."""
+    import pytest as _pytest
+    from unicycler_tpu.pipeline.main import get_arguments
+    args = get_arguments(['-o', str(tmp_path), '--mode', 'conservative'])
+    assert args.mode == 0
+    assert args.min_bridge_qual == 25.0
+    args = get_arguments(['-o', str(tmp_path), '--mode', 'bold'])
+    assert args.mode == 2
+    assert args.min_bridge_qual == 1.0
+    with _pytest.raises(SystemExit):
+        get_arguments(['--version'])
+    with _pytest.raises(SystemExit):
+        get_arguments([])          # missing required -o
+
+
 def test_hybrid_assembly_with_repeat(tmp_path):
     """A genome with a 500 bp repeat: short reads alone cannot resolve it
     (3 contigs), long reads bridge it back to one circular contig."""
