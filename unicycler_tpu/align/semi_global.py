@@ -200,16 +200,22 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                                      band))
         if not tasks:
             continue
-        # Two-phase execution: a cheap score-only pass over every task
-        # first, then the full traceback pass only for tasks that can
-        # survive the per-read conflict filter. This cuts the dominant
-        # cost (traceback transfer over the ~30 MB/s tunnel) by the
-        # multi-candidate factor.
-        prelim = banded_ops.align_banded(
-            [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
-            band=band, need_cigar=False)
-        winners = _select_winner_tasks(tasks, prelim)
-        tasks = [tasks[i] for i in winners]
+        # Two-phase execution: a cheap score-only pass over multi-candidate
+        # reads first, then the full traceback pass only for tasks that
+        # can survive the per-read conflict filter. Reads with a single
+        # candidate skip straight to the traceback pass.
+        task_counts = {}
+        for t in tasks:
+            task_counts[id(t.read)] = task_counts.get(id(t.read), 0) + 1
+        single = [t for t in tasks if task_counts[id(t.read)] == 1]
+        multi = [t for t in tasks if task_counts[id(t.read)] > 1]
+        if multi:
+            prelim = banded_ops.align_banded(
+                [t.banded for t in multi], scoring, config=pw.SEMI_GLOBAL,
+                band=band, need_cigar=False)
+            winners = _select_winner_tasks(multi, prelim)
+            multi = [multi[i] for i in winners]
+        tasks = single + multi
         results = banded_ops.align_banded(
             [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
             band=band, need_cigar=True)
@@ -318,6 +324,9 @@ def semi_global_align_long_reads(references, ref_fasta, read_dict, read_names,
                         min_align_length=min_align_length,
                         allowed_overlap=allowed_overlap)
 
+    if verbosity > 0:
+        print_alignment_summary_table(read_dict, verbosity)
+
     if sam_filename:
         with open(sam_filename, 'w') as sam_file:
             sam_file.write('@HD\tVN:1.5\tSO:unknown\n')
@@ -334,6 +343,29 @@ def semi_global_align_long_reads(references, ref_fasta, read_dict, read_names,
                         sam_file.write(alignment.get_sam_line())
 
     return read_dict
+
+
+def print_alignment_summary_table(read_dict, verbosity,
+                                  using_contamination=False):
+    """Fully/partially/unaligned read summary
+    (role of ref unicycler_align.py:266-310)."""
+    from ..misc import print_table
+    fully, partially, unaligned = 0, 0, 0
+    for read in read_dict.values():
+        fraction = read.get_fraction_aligned()
+        if fraction >= 1.0:
+            fully += 1
+        elif fraction > 0.0:
+            partially += 1
+        else:
+            unaligned += 1
+    table = [['Reads', 'Count'],
+             ['Fully aligned', str(fully)],
+             ['Partially aligned', str(partially)],
+             ['Unaligned', str(unaligned)],
+             ['Total', str(len(read_dict))]]
+    print_table(table, alignments='LR',
+                out=lambda s: log.log(s, verbosity))
 
 
 def load_sam_alignments(sam_filename, read_dict, reference_dict,

@@ -398,9 +398,14 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
             score, end_i, end_j, moves = kernel_fn(qb, r_ext, cb, n_acts,
                                                    m_acts)
             if need_cigar:
-                # Slice off padding tasks and start the host copy so it
-                # overlaps the remaining launches.
-                moves = moves[:len(idxs)]
+                # Slice off padding tasks AND padding rows (coarse length
+                # buckets would otherwise inflate the fetch), then start
+                # the host copy so it overlaps the remaining launches.
+                max_rows = int(n_acts[:len(idxs)].max()) if len(idxs) else 1
+                if moves.ndim == 3:
+                    moves = moves[:len(idxs), :max_rows]
+                else:
+                    moves = moves[:len(idxs)]
                 try:
                     moves.copy_to_host_async()
                 except AttributeError:

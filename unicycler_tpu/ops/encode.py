@@ -19,10 +19,12 @@ def pad_to(codes: np.ndarray, length: int, pad_code: int) -> np.ndarray:
 
 
 def bucket_length(n: int, minimum: int = 128) -> int:
-    """Round up to the next power-of-two bucket (at least `minimum`)."""
+    """Round up to the next power-of-four bucket (at least `minimum`).
+    Coarse buckets trade padded compute (cheap) for far fewer compiled
+    shapes and per-bucket launches (expensive on a tunnelled device)."""
     b = minimum
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 
