@@ -399,21 +399,35 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                                                    m_acts)
             if need_cigar:
                 # Slice off padding tasks AND padding rows (coarse length
-                # buckets would otherwise inflate the fetch), then start
-                # the host copy so it overlaps the remaining launches.
+                # buckets would otherwise inflate the fetch).
                 max_rows = int(n_acts[:len(idxs)].max()) if len(idxs) else 1
                 if moves.ndim == 3:
                     moves = moves[:len(idxs), :max_rows]
                 else:
                     moves = moves[:len(idxs)]
-                try:
-                    moves.copy_to_host_async()
-                except AttributeError:
-                    pass
             pending.append((idxs, score, end_i, end_j, moves, cb, n_acts,
                             m_acts))
-    # Phase 2: collect and decode.
-    for (idxs, score, end_i, end_j, moves, cb, n_acts, m_acts) in pending:
+    # Phase 2: ONE device->host transfer for every launch's move planes
+    # (flattened concat), then decode. Fixed per-fetch tunnel cost is paid
+    # once instead of once per bucket slice.
+    fetched_moves = [None] * len(pending)
+    if need_cigar and pending:
+        flat_parts = []
+        shapes = []
+        for (_, _, _, _, moves, _, _, _) in pending:
+            flat_parts.append(jnp.ravel(moves))
+            shapes.append(moves.shape)
+        all_flat = np.asarray(jnp.concatenate(flat_parts)) \
+            if len(flat_parts) > 1 else np.asarray(flat_parts[0])
+        offset = 0
+        for pi, shape in enumerate(shapes):
+            size = int(np.prod(shape))
+            fetched_moves[pi] = all_flat[offset:offset + size].reshape(shape)
+            offset += size
+    for pi, (idxs, score, end_i, end_j, moves, cb, n_acts, m_acts) \
+            in enumerate(pending):
+        if need_cigar:
+            moves = fetched_moves[pi]
         _emit_results(results, idxs, score, end_i, end_j, moves,
                       cb, n_acts, m_acts, need_cigar, config)
     return results
