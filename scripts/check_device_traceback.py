@@ -1,0 +1,87 @@
+"""TPU parity check: device-side traceback (pallas_traceback) vs the
+host-decoded moves path, on random banded tasks of mixed sizes/configs.
+
+Run on the real TPU (the device path only engages off-CPU):
+    python scripts/check_device_traceback.py
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+import jax  # noqa: E402
+
+from unicycler_tpu.ops.banded import (BandedTask, align_banded,  # noqa: E402
+                                      _align_banded_moves_path)
+from unicycler_tpu.ops.pairwise import (AlignConfig, Scoring,  # noqa: E402
+                                        SEMI_GLOBAL)
+
+FULLY_GLOBAL = AlignConfig(False, False, False, False)
+PATH_CONFIG = AlignConfig(False, False, False, True)
+
+
+def mutate(codes, rng, sub=0.06, ind=0.04):
+    out = []
+    i = 0
+    while i < len(codes):
+        r = rng.random()
+        if r < ind / 2:
+            out.append(rng.integers(0, 4))      # insertion
+            continue
+        if r < ind:
+            i += 1                               # deletion
+            continue
+        if r < ind + sub:
+            out.append((codes[i] + rng.integers(1, 4)) % 4)
+        else:
+            out.append(codes[i])
+        i += 1
+    return np.array(out, np.int8)
+
+
+def cigar_len(cigar, which):
+    return sum(c for c, op in cigar if op in which)
+
+
+def main():
+    rng = np.random.default_rng(7)
+    scoring = Scoring(3, -6, -5, -2)
+    tasks = []
+    for n in (90, 400, 1500, 6000):
+        for _ in range(3):
+            ref = rng.integers(0, 4, n + 200).astype(np.int8)
+            off = rng.integers(0, 150)
+            q = mutate(ref[off:off + n], rng)
+            tasks.append(BandedTask(
+                q=q, r=ref,
+                corridor_read=np.array([0, len(q)], np.int32),
+                corridor_ref=np.array([off, off + n], np.int32)))
+    for config, name in ((SEMI_GLOBAL, 'semi'), (FULLY_GLOBAL, 'global'),
+                         (PATH_CONFIG, 'path')):
+        got = align_banded(tasks, scoring, config=config, band=75)
+        want = _align_banded_moves_path(tasks, scoring, config, 256, True)
+        bad = 0
+        for ti, (g, w) in enumerate(zip(got, want)):
+            ok = (g.score == w.score and g.cigar == w.cigar
+                  and g.s1_start == w.s1_start and g.s2_start == w.s2_start
+                  and g.s1_end == w.s1_end and g.s2_end == w.s2_end)
+            if not ok:
+                bad += 1
+                print(f'  MISMATCH task {ti} ({name}):')
+                print(f'    device: s={g.score} [{g.s1_start},{g.s1_end}]x'
+                      f'[{g.s2_start},{g.s2_end}] cig={g.cigar[:6]}...')
+                print(f'    host:   s={w.score} [{w.s1_start},{w.s1_end}]x'
+                      f'[{w.s2_start},{w.s2_end}] cig={w.cigar[:6]}...')
+            else:
+                # sanity: cigar spans match coords
+                assert cigar_len(g.cigar, 'MI') == g.s1_end - g.s1_start, ti
+                assert cigar_len(g.cigar, 'MD') == g.s2_end - g.s2_start, ti
+        print(f'{name}: {len(tasks) - bad}/{len(tasks)} match')
+        if bad:
+            sys.exit(1)
+    print('ALL PARITY CHECKS PASSED on', jax.devices()[0].platform)
+
+
+if __name__ == '__main__':
+    main()

@@ -383,7 +383,13 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                                    len(t.q), len(t.r), W)
                 cb[bi, :len(c)] = c
                 cb[bi, len(c):] = c[-1]
-            if use_pallas:
+            device_tb = use_pallas and need_cigar
+            if device_tb:
+                from .pallas_banded import pallas_banded_with_traceback
+                kernel_fn = functools.partial(
+                    pallas_banded_with_traceback, scoring=scoring,
+                    config=config, W=W)
+            elif use_pallas:
                 from .pallas_banded import pallas_banded_batch
                 kernel_fn = functools.partial(
                     pallas_banded_batch, scoring=scoring, config=config,
@@ -395,42 +401,137 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
             if mesh is not None:
                 from ..parallel.mesh import shard_batched_call
                 kernel_fn = shard_batched_call(kernel_fn, mesh)
-            score, end_i, end_j, moves = kernel_fn(qb, r_ext, cb, n_acts,
-                                                   m_acts)
-            if need_cigar:
-                # Slice off padding tasks AND padding rows (coarse length
-                # buckets would otherwise inflate the fetch).
+            outs = kernel_fn(qb, r_ext, cb, n_acts, m_acts)
+            if device_tb:
+                score, end_i, end_j, records, final = outs
                 max_rows = int(n_acts[:len(idxs)].max()) if len(idxs) else 1
-                if moves.ndim == 3:
-                    moves = moves[:len(idxs), :max_rows]
-                else:
-                    moves = moves[:len(idxs)]
+                moves = (records[:len(idxs), :max_rows],
+                         final[:len(idxs)])
+            else:
+                score, end_i, end_j, moves = outs
+                if need_cigar:
+                    # Slice off padding tasks AND padding rows (coarse
+                    # buckets would otherwise inflate the fetch).
+                    max_rows = int(n_acts[:len(idxs)].max()) \
+                        if len(idxs) else 1
+                    if moves.ndim == 3:
+                        moves = moves[:len(idxs), :max_rows]
+                    else:
+                        moves = moves[:len(idxs)]
             pending.append((idxs, score, end_i, end_j, moves, cb, n_acts,
-                            m_acts))
-    # Phase 2: ONE device->host transfer for every launch's move planes
+                            m_acts, device_tb))
+    # Phase 2: ONE device->host transfer for all launches' traceback data
     # (flattened concat), then decode. Fixed per-fetch tunnel cost is paid
     # once instead of once per bucket slice.
-    fetched_moves = [None] * len(pending)
+    fetched = [None] * len(pending)
     if need_cigar and pending:
         flat_parts = []
         shapes = []
-        for (_, _, _, _, moves, _, _, _) in pending:
-            flat_parts.append(jnp.ravel(moves))
-            shapes.append(moves.shape)
+        for entry in pending:
+            moves = entry[4]
+            if entry[8]:                       # device-traceback records
+                flat_parts.append(jnp.ravel(moves[0]))
+                flat_parts.append(jnp.ravel(moves[1]))
+                shapes.append((moves[0].shape, moves[1].shape))
+            else:
+                flat_parts.append(jnp.ravel(moves))
+                shapes.append((moves.shape,))
         all_flat = np.asarray(jnp.concatenate(flat_parts)) \
             if len(flat_parts) > 1 else np.asarray(flat_parts[0])
         offset = 0
-        for pi, shape in enumerate(shapes):
-            size = int(np.prod(shape))
-            fetched_moves[pi] = all_flat[offset:offset + size].reshape(shape)
-            offset += size
-    for pi, (idxs, score, end_i, end_j, moves, cb, n_acts, m_acts) \
-            in enumerate(pending):
+        for pi, shape_group in enumerate(shapes):
+            parts = []
+            for shape in shape_group:
+                size = int(np.prod(shape))
+                parts.append(all_flat[offset:offset + size].reshape(shape))
+                offset += size
+            fetched[pi] = parts[0] if len(parts) == 1 else tuple(parts)
+    retry_tasks = []
+    for pi, (idxs, score, end_i, end_j, moves, cb, n_acts, m_acts,
+             device_tb) in enumerate(pending):
         if need_cigar:
-            moves = fetched_moves[pi]
-        _emit_results(results, idxs, score, end_i, end_j, moves,
-                      cb, n_acts, m_acts, need_cigar, config)
+            moves = fetched[pi]
+        if device_tb:
+            _emit_results_records(results, tasks, retry_tasks, idxs, score,
+                                  end_i, end_j, moves, n_acts, m_acts,
+                                  config)
+        else:
+            _emit_results(results, idxs, score, end_i, end_j, moves,
+                          cb, n_acts, m_acts, need_cigar, config)
+    # Band-escape tasks (corrupt on-device walks) retry via the
+    # moves-fetch path individually — rare.
+    if retry_tasks:
+        retried = _align_banded_moves_path(
+            [tasks[i] for i in retry_tasks], scoring, config, W,
+            need_cigar)
+        for i, pa in zip(retry_tasks, retried):
+            results[i] = pa
     return results
+
+
+def _align_banded_moves_path(task_list, scoring, config, W, need_cigar):
+    """Fallback: the original host-decoded moves path for a few tasks."""
+    from .encode import bucket_length, pad_to, Q_PAD
+    from .pallas_banded import BT, pallas_banded_batch
+    results = [None] * len(task_list)
+    buckets = {}
+    for idx, t in enumerate(task_list):
+        key = (bucket_length(max(len(t.q), 1)),
+               bucket_length(max(len(t.r), 1)))
+        buckets.setdefault(key, []).append(idx)
+    for (n_pad, m_pad), idxs in buckets.items():
+        B = ((len(idxs) + BT - 1) // BT) * BT
+        qb = np.full((B, n_pad), Q_PAD, np.int8)
+        r_ext = np.full((B, m_pad + 2 * W), R_PAD, np.int8)
+        cb = np.zeros((B, n_pad + 1), np.int32)
+        n_acts = np.zeros(B, np.int32)
+        m_acts = np.zeros(B, np.int32)
+        for bi, i in enumerate(idxs):
+            t = task_list[i]
+            qb[bi, :len(t.q)] = t.q
+            r_ext[bi, W:W + len(t.r)] = t.r
+            n_acts[bi] = len(t.q)
+            m_acts[bi] = len(t.r)
+            c = build_corridor(t.corridor_read, t.corridor_ref,
+                               len(t.q), len(t.r), W)
+            cb[bi, :len(c)] = c
+            cb[bi, len(c):] = c[-1]
+        score, end_i, end_j, moves = pallas_banded_batch(
+            qb, r_ext, cb, n_acts, m_acts, scoring, config, W, need_cigar)
+        if need_cigar:
+            moves = moves[:len(idxs)]
+        _emit_results(results, idxs, score, end_i, end_j, moves, cb,
+                      n_acts, m_acts, need_cigar, config)
+    return results
+
+
+def _emit_results_records(results, tasks, retry_tasks, idxs, score, end_i,
+                          end_j, rec_and_final, n_acts, m_acts, config):
+    """Decode device-traceback row records into PairAlignments."""
+    from .pallas_traceback import records_to_cigar
+    records, final = rec_and_final
+    records = np.asarray(records)
+    final = np.asarray(final)
+    score = np.asarray(score)
+    end_i = np.asarray(end_i)
+    end_j = np.asarray(end_j)
+    for bi, i in enumerate(idxs):
+        if score[bi] <= NEG // 2:
+            results[i] = PairAlignment(score=0, s1_start=0, s1_end=0,
+                                       s2_start=0, s2_end=0, cigar=[],
+                                       s1_len=int(n_acts[bi]),
+                                       s2_len=int(m_acts[bi]))
+            continue
+        decoded = records_to_cigar(records[bi], end_i[bi], final[bi, 0],
+                                   final[bi, 1], final[bi, 2], config)
+        if decoded is None:
+            retry_tasks.append(i)
+            continue
+        cigar, si, sj = decoded
+        results[i] = PairAlignment(
+            score=int(score[bi]), s1_start=si, s1_end=int(end_i[bi]),
+            s2_start=sj, s2_end=int(end_j[bi]), cigar=cigar,
+            s1_len=int(n_acts[bi]), s2_len=int(m_acts[bi]))
 
 
 def _emit_results(results, idxs, score, end_i, end_j, moves, cb,

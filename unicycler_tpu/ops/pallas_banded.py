@@ -354,3 +354,18 @@ def pallas_banded_batch(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
     score, end_i, end_j = jax.vmap(select_ends)(h_at_n, best, h0, c,
                                                 n_acts, m_acts)
     return score, end_i, end_j, moves
+
+
+@functools.partial(jax.jit, static_argnames=('scoring', 'config', 'W'))
+def pallas_banded_with_traceback(q_batch, r_ext_batch, c_batch, n_acts,
+                                 m_acts, scoring, config, W):
+    """Forward DP + ON-DEVICE traceback in one jit: the move planes never
+    leave the device; only 4-byte-per-row path records transfer.
+    Returns (score, end_i, end_j, records (B, n_pad), final (B, 3))."""
+    from .pallas_traceback import traceback_device
+    score, end_i, end_j, moves = pallas_banded_batch(
+        q_batch, r_ext_batch, c_batch, n_acts, m_acts, scoring, config, W,
+        need_moves=True)
+    records, final = traceback_device(moves, c_batch[:, 1:].astype(jnp.int32),
+                                      end_i, end_j, W)
+    return score, end_i, end_j, records, final
