@@ -355,18 +355,34 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     # and host decoding all overlap.
     pending = []
     for (n_pad, m_pad), all_idxs in buckets.items():
-        # Fixed batch slice size on the Pallas path: one compiled shape
-        # per (n_pad, m_pad) regardless of how many tasks are queued.
+        # Slice sizes on the Pallas path: greedy power-of-two multiples of
+        # the batch tile, so a bucket of T tasks takes <= log2 launches
+        # (launch RTT over the tunnel is the driver's fixed cost) while
+        # the compiled-shape count stays small. Launch size is capped so
+        # the cellinfo intermediate (B, n_pad, W) int32 stays under ~2 GB.
         if use_pallas:
             from .pallas_banded import BT
-            slice_size = BT * n_shards
+            unit = BT * n_shards
+            cell_budget = 1 << 29
+            max_b = max(unit,
+                        cell_budget // max(1, n_pad * W) // unit * unit)
+            slices = []
+            remaining = len(all_idxs)
+            while remaining > 0:
+                size = unit
+                while size * 2 <= min(remaining, max_b):
+                    size *= 2
+                slices.append(size)
+                remaining -= min(size, remaining)
         elif n_shards > 1:
-            slice_size = ((len(all_idxs) + n_shards - 1)
-                          // n_shards) * n_shards
+            slices = [((len(all_idxs) + n_shards - 1)
+                       // n_shards) * n_shards]
         else:
-            slice_size = len(all_idxs)
-        for s in range(0, len(all_idxs), slice_size):
+            slices = [len(all_idxs)]
+        s = 0
+        for slice_size in slices:
             idxs = all_idxs[s:s + slice_size]
+            s += slice_size
             B = slice_size if (use_pallas or n_shards > 1) else len(idxs)
             qb = np.full((B, n_pad), Q_PAD, np.int8)
             r_ext = np.full((B, m_pad + 2 * W), R_PAD, np.int8)
@@ -420,22 +436,28 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                         moves = moves[:len(idxs)]
             pending.append((idxs, score, end_i, end_j, moves, cb, n_acts,
                             m_acts, device_tb))
-    # Phase 2: ONE device->host transfer for all launches' traceback data
-    # (flattened concat), then decode. Fixed per-fetch tunnel cost is paid
-    # once instead of once per bucket slice.
+    # Phase 2: ONE device->host transfer for ALL launches' outputs —
+    # scores, end coordinates, and traceback data — as one flattened int32
+    # concat. The tunnel's fixed per-fetch cost (~0.1 s) is paid once per
+    # align_banded call instead of once per array per bucket slice.
     fetched = [None] * len(pending)
-    if need_cigar and pending:
+    if pending:
         flat_parts = []
         shapes = []
         for entry in pending:
-            moves = entry[4]
-            if entry[8]:                       # device-traceback records
-                flat_parts.append(jnp.ravel(moves[0]))
-                flat_parts.append(jnp.ravel(moves[1]))
-                shapes.append((moves[0].shape, moves[1].shape))
-            else:
-                flat_parts.append(jnp.ravel(moves))
-                shapes.append((moves.shape,))
+            score, end_i, end_j, moves = entry[1], entry[2], entry[3], entry[4]
+            group = [jnp.ravel(score).astype(jnp.int32),
+                     jnp.ravel(end_i).astype(jnp.int32),
+                     jnp.ravel(end_j).astype(jnp.int32)]
+            gshapes = [score.shape, end_i.shape, end_j.shape]
+            if need_cigar and entry[8]:        # device-traceback records
+                group += [jnp.ravel(moves[0]), jnp.ravel(moves[1])]
+                gshapes += [moves[0].shape, moves[1].shape]
+            elif need_cigar:
+                group.append(jnp.ravel(moves))
+                gshapes.append(moves.shape)
+            flat_parts.extend(group)
+            shapes.append(gshapes)
         all_flat = np.asarray(jnp.concatenate(flat_parts)) \
             if len(flat_parts) > 1 else np.asarray(flat_parts[0])
         offset = 0
@@ -445,13 +467,15 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                 size = int(np.prod(shape))
                 parts.append(all_flat[offset:offset + size].reshape(shape))
                 offset += size
-            fetched[pi] = parts[0] if len(parts) == 1 else tuple(parts)
+            fetched[pi] = parts
     retry_tasks = []
     for pi, (idxs, score, end_i, end_j, moves, cb, n_acts, m_acts,
              device_tb) in enumerate(pending):
+        parts = fetched[pi]
+        score, end_i, end_j = parts[0], parts[1], parts[2]
         if need_cigar:
-            moves = fetched[pi]
-        if device_tb:
+            moves = tuple(parts[3:]) if device_tb else parts[3]
+        if device_tb and need_cigar:
             _emit_results_records(results, tasks, retry_tasks, idxs, score,
                                   end_i, end_j, moves, n_acts, m_acts,
                                   config)
