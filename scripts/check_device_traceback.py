@@ -19,6 +19,8 @@ from unicycler_tpu.ops.pairwise import (AlignConfig, Scoring,  # noqa: E402
 
 FULLY_GLOBAL = AlignConfig(False, False, False, False)
 PATH_CONFIG = AlignConfig(False, False, False, True)
+OVERLAP_CONFIG = AlignConfig(True, False, False, True)
+END_CONFIG = AlignConfig(False, True, False, False)
 
 
 def mutate(codes, rng, sub=0.06, ind=0.04):
@@ -48,8 +50,10 @@ def main():
     rng = np.random.default_rng(7)
     scoring = Scoring(3, -6, -5, -2)
     tasks = []
-    for n in (90, 400, 1500, 6000):
-        for _ in range(3):
+    # 40 tasks across wildly mixed sizes: exercises multiple segments per
+    # tape track, partial last segments, and big intra-segment spreads.
+    for n in (40, 90, 400, 700, 1500, 3000, 6000, 12000):
+        for _ in range(5):
             ref = rng.integers(0, 4, n + 200).astype(np.int8)
             off = rng.integers(0, 150)
             q = mutate(ref[off:off + n], rng)
@@ -57,8 +61,18 @@ def main():
                 q=q, r=ref,
                 corridor_read=np.array([0, len(q)], np.int32),
                 corridor_ref=np.array([off, off + n], np.int32)))
+    # a read longer than its reference (free_end_s1 lastcol/row-0 ends)
+    for _ in range(4):
+        ref = rng.integers(0, 4, 300).astype(np.int8)
+        q = mutate(np.concatenate([ref, rng.integers(0, 4, 250)]).astype(
+            np.int8), rng)
+        tasks.append(BandedTask(
+            q=q, r=ref,
+            corridor_read=np.array([0, 300], np.int32),
+            corridor_ref=np.array([0, 300], np.int32)))
     for config, name in ((SEMI_GLOBAL, 'semi'), (FULLY_GLOBAL, 'global'),
-                         (PATH_CONFIG, 'path')):
+                         (PATH_CONFIG, 'path'), (OVERLAP_CONFIG, 'overlap'),
+                         (END_CONFIG, 'end')):
         got = align_banded(tasks, scoring, config=config, band=75)
         want = _align_banded_moves_path(tasks, scoring, config, 256, True)
         bad = 0

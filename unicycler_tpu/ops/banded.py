@@ -330,11 +330,18 @@ class BandedTask(NamedTuple):
 def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                  band: int = 25, need_cigar: bool = True
                  ) -> List[PairAlignment]:
-    """Batch a list of banded tasks (bucketed by shape) through the kernel."""
+    """Batch a list of banded tasks through the kernel. On TPU-class
+    backends the whole call becomes one (or a few) TAPE launches
+    (ops/tape + ops/pallas_tape); the bucketed path below remains for
+    CPU, meshes, and band-escape retries."""
     if not tasks:
         return []
     from .encode import bucket_length, pad_to, Q_PAD
     W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
+    from ..parallel.mesh import get_default_mesh
+    if (jax.devices()[0].platform != 'cpu'
+            and get_default_mesh() is None):
+        return align_banded_tape(tasks, scoring, config, W, need_cigar)
     results: List[PairAlignment] = [None] * len(tasks)
     # bucket by (n_pad, m_pad)
     buckets = {}
@@ -489,6 +496,105 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
             [tasks[i] for i in retry_tasks], scoring, config, W,
             need_cigar)
         for i, pa in zip(retry_tasks, retried):
+            results[i] = pa
+    return results
+
+
+def align_banded_tape(tasks, scoring, config, W, need_cigar):
+    """Mega-batched path: every task of the call rides one tape launch
+    (a few if the workload exceeds the per-launch row cap), with the
+    traceback walked on device. See ops/tape.py for the layout."""
+    from .tape import build_tapes
+    from .pallas_tape import tape_forward, tape_with_traceback
+    from .pallas_traceback import records_to_cigar
+
+    results = [None] * len(tasks)
+    live = []
+    for i, t in enumerate(tasks):
+        if len(t.q) == 0 or len(t.r) == 0:
+            results[i] = PairAlignment(score=0, s1_start=0, s1_end=0,
+                                       s2_start=0, s2_end=0, cigar=[],
+                                       s1_len=len(t.q), s2_len=len(t.r))
+        else:
+            live.append(i)
+    if not live:
+        return results
+    live_tasks = [tasks[i] for i in live]
+    launches = build_tapes(live_tasks, W, build_corridor)
+
+    # Phase 1: dispatch every launch; Phase 2: one merged flat fetch.
+    pending = []
+    for tp in launches:
+        per_task = (tp.cbase, tp.c0m, tp.c_n, tp.m_t, tp.n_t, tp.r_base,
+                    tp.seg_start, tp.reset_slot, tp.cap_slot, tp.last_slot)
+        if need_cigar:
+            score, end_i, end_j, records, fin = tape_with_traceback(
+                tp.q_tape, tp.flags, tp.r_flat, *per_task, tp.n_tasks,
+                scoring=scoring, config=config, W=W)
+            dev = [score, end_i, end_j,
+                   records[:, :tp.L_real], jnp.ravel(fin)]
+        else:
+            score, end_i, end_j, _, _ = tape_forward(
+                tp.q_tape, tp.flags, tp.r_flat, *per_task,
+                scoring=scoring, config=config, W=W, need_moves=False)
+            dev = [score, end_i, end_j]
+        pending.append((tp, dev))
+
+    flat_parts, shapes = [], []
+    for _, dev in pending:
+        for a in dev:
+            flat_parts.append(jnp.ravel(a).astype(jnp.int32))
+            shapes.append(a.shape)
+    all_flat = np.asarray(jnp.concatenate(flat_parts)) \
+        if len(flat_parts) > 1 else np.asarray(flat_parts[0])
+    host_parts, offset = [], 0
+    for shape in shapes:
+        size = int(np.prod(shape))
+        host_parts.append(all_flat[offset:offset + size].reshape(shape))
+        offset += size
+
+    retry = []
+    pi = 0
+    for tp, dev in pending:
+        n = len(dev)
+        parts = host_parts[pi:pi + n]
+        pi += n
+        score, end_i, end_j = parts[0], parts[1], parts[2]
+        records = parts[3] if need_cigar else None
+        fin = parts[4].reshape(8, tp.TT, 3) if need_cigar else None
+        for tr in range(tp.task_ids.shape[0]):
+            for kk in range(int(tp.n_tasks[tr])):
+                gi = live[int(tp.task_ids[tr, kk])]
+                sc = int(score[tr, kk])
+                n_act = int(tp.n_t[tr, kk])
+                m_act = int(tp.m_t[tr, kk])
+                if sc <= NEG // 2:
+                    results[gi] = PairAlignment(
+                        score=0, s1_start=0, s1_end=0, s2_start=0,
+                        s2_end=0, cigar=[], s1_len=n_act, s2_len=m_act)
+                    continue
+                ei, ej = int(end_i[tr, kk]), int(end_j[tr, kk])
+                if not need_cigar:
+                    results[gi] = PairAlignment(
+                        score=sc, s1_start=0, s1_end=ei, s2_start=0,
+                        s2_end=ej, cigar=[], s1_len=n_act, s2_len=m_act)
+                    continue
+                ss = int(tp.seg_start[tr, kk])
+                local = records[tr, ss:ss + ei]
+                decoded = records_to_cigar(local, ei, fin[tr, kk, 0],
+                                           fin[tr, kk, 1], fin[tr, kk, 2],
+                                           config)
+                if decoded is None:
+                    retry.append(gi)
+                    continue
+                cigar, si, sj = decoded
+                results[gi] = PairAlignment(
+                    score=sc, s1_start=si, s1_end=ei, s2_start=sj,
+                    s2_end=ej, cigar=cigar, s1_len=n_act, s2_len=m_act)
+    if retry:
+        retried = _align_banded_moves_path(
+            [tasks[i] for i in retry], scoring, config, W, need_cigar)
+        for i, pa in zip(retry, retried):
             results[i] = pa
     return results
 
