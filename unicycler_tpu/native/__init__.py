@@ -14,7 +14,7 @@ _BUILD_FAILED = False
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_SRC_DIR, 'libunicycler_tpu_native.so')
-_SOURCES = ['cigar_decode.cpp']
+_SOURCES = ['cigar_decode.cpp', 'lis.cpp']
 
 
 def _build():
@@ -52,6 +52,9 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+    lib.lis_indices.restype = ctypes.c_int64
+    lib.lis_indices.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -88,6 +91,18 @@ def native_decode_banded(moves, c, end_i, end_j, free_start_s1,
     cigar = [(int(out[2 * k]), _OP_NAMES[int(out[2 * k + 1])])
              for k in range(n - 1, -1, -1)]
     return (cigar, int(si.value), int(sj.value))
+
+
+def native_lis(values):
+    """Native longest-nondecreasing-subsequence indices, or None if the
+    library is unavailable (callers fall back to the Python walk)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    out = np.empty(len(values), np.int64)
+    n = lib.lis_indices(values.ctypes.data, len(values), out.ctypes.data)
+    return out[:n]
 
 
 def native_decode_full(moves, end_i, end_j, free_start_s1, free_start_s2):

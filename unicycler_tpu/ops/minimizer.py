@@ -85,11 +85,49 @@ def sketch(codes: np.ndarray, k: int, w: int) -> Minimizers:
     if n <= w:
         sel = np.array([np.argmin(canon)]) if ok.any() else np.zeros(0, np.int64)
     else:
-        win = np.lib.stride_tricks.sliding_window_view(canon, w)
-        sel = np.unique(np.argmin(win, axis=1)
-                        + np.arange(len(win), dtype=np.int64))
+        sel = np.unique(_sliding_argmin(canon, w))
         sel = sel[ok[sel]]
     return Minimizers(canon[sel], sel.astype(np.int32), strand[sel])
+
+
+def _sliding_argmin(v: np.ndarray, w: int) -> np.ndarray:
+    """Leftmost argmin of every length-w sliding window, O(n) via the
+    block prefix/suffix-minima trick (np.argmin over a (n, w) stride view
+    is O(n*w) and dominated the sketch profile). Exact tie semantics of
+    np.argmin: the leftmost minimum wins."""
+    n = len(v)
+    nw = n - w + 1
+    pad = (-n) % w
+    inf = v.dtype.type(np.iinfo(v.dtype).max) if v.dtype.kind in 'ui' \
+        else np.inf
+    A = np.concatenate([v, np.full(pad, inf, v.dtype)]).reshape(-1, w)
+    nb = A.shape[0]
+    cols = np.arange(w, dtype=np.int64)[None, :]
+
+    # prefix minima/argmin per block (leftmost: update on strictly less)
+    P_min = np.minimum.accumulate(A, axis=1)
+    prev = np.concatenate([np.full((nb, 1), inf, v.dtype), P_min[:, :-1]],
+                          axis=1)
+    P_arg = np.maximum.accumulate(np.where(A < prev, cols, -1), axis=1)
+    # suffix minima/argmin per block (leftmost: reversed scan with <=)
+    R = A[:, ::-1]
+    S_min_r = np.minimum.accumulate(R, axis=1)
+    prev_r = np.concatenate([np.full((nb, 1), inf, v.dtype),
+                             S_min_r[:, :-1]], axis=1)
+    S_arg_r = np.maximum.accumulate(np.where(R <= prev_r, cols, -1), axis=1)
+    S_min = S_min_r[:, ::-1]
+    S_arg = (w - 1) - S_arg_r[:, ::-1]
+
+    g = np.arange(nw, dtype=np.int64)
+    q, r = g // w, g % w
+    svals = S_min[q, r]
+    sarg = q * w + S_arg[q, r]
+    has_p = r > 0
+    q1 = np.minimum(q + 1, nb - 1)
+    r1 = np.maximum(r - 1, 0)
+    pvals = np.where(has_p, P_min[q1, r1], inf)
+    parg = (q + 1) * w + P_arg[q1, r1]
+    return np.where(svals <= pvals, sarg, parg)
 
 
 class SeedHitCluster(NamedTuple):
@@ -162,8 +200,7 @@ class MinimizerIndex(object):
             return []
         # expand matches
         read_idx = np.repeat(np.arange(len(mins.hashes)), counts)
-        flat = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)
-                               if b > a]) if counts.sum() else np.zeros(0, np.int64)
+        flat = _expand_ranges(lo, counts)
         r_pos = mins.pos[read_idx]
         r_str = mins.strand[read_idx]
         t_ids = self.ref_ids[flat]
@@ -240,9 +277,7 @@ def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
     if total == 0:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32))
     read_pos = np.repeat(np.arange(len(qk), dtype=np.int64), counts)
-    flat = np.concatenate([np.arange(a, a + c)
-                           for a, c in zip(lo, counts) if c > 0])
-    ref_pos = r_pos_sorted[flat]
+    ref_pos = r_pos_sorted[_expand_ranges(lo, counts)]
     # keep hits near the coarse line
     if len(line_read) >= 2:
         expected = np.interp(read_pos, line_read.astype(np.float64),
@@ -262,11 +297,30 @@ def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
     return (read_pos[chain].astype(np.int32), ref_pos[chain].astype(np.int32))
 
 
+def _expand_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Vectorised concat of [arange(s, s+c) for s, c in zip(starts,
+    counts)] — the hit-expansion hot path (a Python loop of aranges costs
+    ~1 ms per thousand entries; this is pure numpy)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = starts.astype(np.int64)
+    counts = counts.astype(np.int64)
+    offsets = np.cumsum(counts) - counts            # exclusive prefix sum
+    return (np.repeat(starts - offsets, counts)
+            + np.arange(total, dtype=np.int64))
+
+
 def _lis_indices(values: np.ndarray) -> np.ndarray:
-    """Indices of a longest nondecreasing subsequence (O(n log n))."""
+    """Indices of a longest nondecreasing subsequence (O(n log n));
+    native implementation (native/lis.cpp) with a Python fallback."""
     n = len(values)
     if n == 0:
         return np.zeros(0, np.int64)
+    from ..native import native_lis
+    out = native_lis(values)
+    if out is not None:
+        return out
     tails = []          # last value of LIS of each length
     tails_idx = []
     parent = np.full(n, -1, np.int64)
