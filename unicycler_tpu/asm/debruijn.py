@@ -82,26 +82,72 @@ def _revcomp_matrix(matrix: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(_COMP[matrix][:, ::-1])
 
 
-def count_kmers(read_code_arrays, k, min_count=2):
+def _canonical_kmers(codes, k):
+    km = _kmer_matrix(codes, k)
+    if not len(km):
+        return km
+    rc = _revcomp_matrix(km)
+    # row-wise lexicographic min(km, rc) via first differing column
+    neq = km != rc
+    any_neq = neq.any(axis=1)
+    first = np.argmax(neq, axis=1)
+    rows = np.arange(len(km))
+    fwd_smaller = ~any_neq | (km[rows, first] <= rc[rows, first])
+    return np.where(fwd_smaller[:, None], km, rc)
+
+
+def count_kmers(read_code_arrays, k, min_count=2, carried=None):
     """Canonical k-mer counts above min_count: returns ((m, k) uint8
-    canonical k-mer matrix, counts)."""
+    canonical k-mer matrix, counts).
+
+    `carried` is an optional list of (codes, depth) from the PREVIOUS
+    (smaller) k's unitigs — SPAdes' iterative-k scheme: their k-mers are
+    exempt from the solidity threshold (long contigs already vouched for
+    them) and enter with the depth estimated at the previous k, so
+    coverage gaps that a smaller k bridged stay connected at larger k."""
     chunks = []
     for codes in read_code_arrays:
-        km = _kmer_matrix(codes, k)
-        if len(km):
-            rc = _revcomp_matrix(km)
-            # row-wise lexicographic min(km, rc) via first differing column
-            neq = km != rc
-            any_neq = neq.any(axis=1)
-            first = np.argmax(neq, axis=1)
-            rows = np.arange(len(km))
-            fwd_smaller = ~any_neq | (km[rows, first] <= rc[rows, first])
-            chunks.append(np.where(fwd_smaller[:, None], km, rc))
+        cm = _canonical_kmers(codes, k)
+        if len(cm):
+            chunks.append(cm)
     if not chunks:
-        return np.zeros((0, k), np.uint8), np.zeros(0, np.int64)
-    all_kmers = np.concatenate(chunks)
-    uniq_v, counts = np.unique(_void_view(all_kmers), return_counts=True)
+        uniq_v = np.zeros(0, np.dtype((np.void, k)))
+        counts = np.zeros(0, np.int64)
+    else:
+        all_kmers = np.concatenate(chunks)
+        uniq_v, counts = np.unique(_void_view(all_kmers),
+                                   return_counts=True)
     keep = counts >= min_count
+
+    if carried:
+        ex_chunks, ex_counts = [], []
+        for codes, depth in carried:
+            cm = _canonical_kmers(codes, k)
+            if len(cm):
+                ex_chunks.append(cm)
+                ex_counts.append(np.full(len(cm), max(1, round(depth)),
+                                         np.int64))
+        if ex_chunks:
+            ev = _void_view(np.concatenate(ex_chunks))
+            ec = np.concatenate(ex_counts)
+            order = np.argsort(ev, kind='stable')
+            ev, ec = ev[order], ec[order]
+            first = np.concatenate([[True], ev[1:] != ev[:-1]])
+            ev, ec = ev[first], np.maximum.reduceat(
+                ec, np.nonzero(first)[0])
+            pos = np.searchsorted(uniq_v, ev)
+            found = (pos < len(uniq_v))
+            found[found] &= uniq_v[pos[found]] == ev[found]
+            fp = pos[found]
+            keep[fp] = True
+            counts = counts.copy()
+            counts[fp] = np.maximum(counts[fp], ec[found])
+            if (~found).any():
+                uniq_v = np.concatenate([uniq_v, ev[~found]])
+                counts = np.concatenate([counts, ec[~found]])
+                keep = np.concatenate(
+                    [keep, np.ones(int((~found).sum()), bool)])
+
     uniq = uniq_v[keep].view(np.uint8).reshape(-1, k)
     return uniq, counts[keep]
 
@@ -232,28 +278,41 @@ def link_unitigs(unitigs, k):
     return sorted(links)
 
 
-def assemble_short_reads(read_code_arrays, k, min_count=2):
-    """One k's assembly: unitigs + links (GFA-style, overlap k-1)."""
-    kmers, counts = count_kmers(read_code_arrays, k, min_count)
+def assemble_short_reads(read_code_arrays, k, min_count=2, carried=None):
+    """One k's assembly: unitigs + links (GFA-style, overlap k-1).
+    `carried` = previous k's (codes, depth) unitigs (iterative-k)."""
+    kmers, counts = count_kmers(read_code_arrays, k, min_count, carried)
     if len(kmers) == 0:
         return [], []
     unitigs = build_unitigs(kmers, counts, k)
     unitigs = dedupe_unitigs(unitigs)
-    # tip clipping: drop short (< 2k) low-coverage unitigs with a dead end
+    # Graph cleaning (role of SPAdes' simplification stage):
+    #   tips: short, low-coverage unitigs dead on exactly one side
+    #   ECs:  short, very-low-coverage unitigs linked on both sides
+    #         (erroneous connections between true paths)
+    # Islands and everything long or well-covered stay.
+    for _ in range(3):
+        links = link_unitigs(unitigs, k)
+        has_out = set(a for a, _ in links)
+        median_count = float(np.median([c for _, c in unitigs])) \
+            if unitigs else 0.0
+        kept = []
+        for idx, (seq, count) in enumerate(unitigs):
+            num = idx + 1
+            out_dead = num not in has_out
+            in_dead = -num not in has_out
+            if len(seq) < 2 * k:
+                if (out_dead != in_dead) and count < median_count / 4:
+                    continue                       # tip
+                if (not out_dead and not in_dead) \
+                        and count < median_count / 10:
+                    continue                       # erroneous connection
+            kept.append((seq, count))
+        if len(kept) == len(unitigs):
+            break
+        unitigs = kept
     links = link_unitigs(unitigs, k)
-    linked_starts = set(abs(a) for a, b in links) | \
-        set(abs(b) for a, b in links)
-    median_count = float(np.median([c for _, c in unitigs])) \
-        if unitigs else 0.0
-    kept = []
-    for idx, (seq, count) in enumerate(unitigs):
-        num = idx + 1
-        if len(seq) < 2 * k and count < median_count / 4 and \
-                num in linked_starts:
-            continue
-        kept.append((seq, count))
-    links = link_unitigs(kept, k)
-    return kept, links
+    return unitigs, links
 
 
 def save_graph_gfa(unitigs, links, k, filename, paths=None):
@@ -436,14 +495,23 @@ def build_best_short_read_graph(args):
 
     # Like the reference (get_best_spades_graph, spades_func.py:84-135),
     # each k's graph is cleaned BEFORE scoring 1/(contigs*(dead_ends+2)).
+    # Iterative k (SPAdes scheme): each k also ingests the previous k's
+    # unitigs, so low-coverage regions bridged at small k stay connected
+    # when k grows past the local coverage.
     import tempfile
     best = None
+    carried = None
     tmp_gfa = os.path.join(args.out, 'TEMP_k_graph.gfa')
     for k in kmer_range:
-        unitigs, links = assemble_short_reads(read_arrays, k)
+        unitigs, links = assemble_short_reads(read_arrays, k,
+                                              carried=carried)
         if not unitigs:
             log.log('  k=%d: no contigs' % k)
             continue
+        # carry raw unitigs (cleaned-graph carry was tried and measured
+        # worse: the depth filter drops genuinely low-depth connectors)
+        carried = [(encode_sequence(seq), count)
+                   for seq, count in unitigs if len(seq) >= 2 * k]
         save_graph_gfa(unitigs, links, k, tmp_gfa)
         graph = AssemblyGraph(tmp_gfa, k - 1)
         pop_graph_bubbles(graph)
