@@ -185,19 +185,22 @@ def align_reads_to_refs(reads, references, scoring_scheme,
     for read in reads:
         read.alignments = []
 
+    from ..utils import trace
     scoring = scoring_scheme.to_ops()
     for level in range(0, sensitivity_level + 1):
         k = settings.SEED_KMER_SIZES[level]
         band = settings.BAND_SIZES[level]
-        index = mz.MinimizerIndex(ref_codes, k=k, w=10)
+        with trace.span('seed_index'):
+            index = mz.MinimizerIndex(ref_codes, k=k, w=10)
         tasks: List[_Task] = []
-        for read in reads:
-            if read.get_length() < min_align_length:
-                continue
-            clusters = index.lookup(read.codes)
-            max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
-            tasks.extend(_make_tasks(read, references, clusters[:max_traces],
-                                     band))
+        with trace.span('seed_and_tasks'):
+            for read in reads:
+                if read.get_length() < min_align_length:
+                    continue
+                clusters = index.lookup(read.codes)
+                max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
+                tasks.extend(_make_tasks(read, references,
+                                         clusters[:max_traces], band))
         if not tasks:
             continue
         # Two-phase execution: a cheap score-only pass over multi-candidate
@@ -210,15 +213,17 @@ def align_reads_to_refs(reads, references, scoring_scheme,
         single = [t for t in tasks if task_counts[id(t.read)] == 1]
         multi = [t for t in tasks if task_counts[id(t.read)] > 1]
         if multi:
-            prelim = banded_ops.align_banded(
-                [t.banded for t in multi], scoring, config=pw.SEMI_GLOBAL,
-                band=band, need_cigar=False)
+            with trace.span('score_pass'):
+                prelim = banded_ops.align_banded(
+                    [t.banded for t in multi], scoring,
+                    config=pw.SEMI_GLOBAL, band=band, need_cigar=False)
             winners = _select_winner_tasks(multi, prelim)
             multi = [multi[i] for i in winners]
         tasks = single + multi
-        results = banded_ops.align_banded(
-            [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
-            band=band, need_cigar=True)
+        with trace.span('traceback_pass'):
+            results = banded_ops.align_banded(
+                [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
+                band=band, need_cigar=True)
         for task, pa in zip(tasks, results):
             if pa.s1_end <= pa.s1_start:
                 continue
@@ -260,9 +265,10 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                 corridor_read=a_read, corridor_ref=a_ref))
         band = settings.BAND_SIZES[min(sensitivity_level,
                                        len(settings.BAND_SIZES) - 1)]
-        refined = banded_ops.align_banded(
-            refine_tasks, scoring, config=pw.SEMI_GLOBAL, band=band,
-            need_cigar=True)
+        with trace.span('refine_pass'):
+            refined = banded_ops.align_banded(
+                refine_tasks, scoring, config=pw.SEMI_GLOBAL, band=band,
+                need_cigar=True)
         for alignment, pa2 in zip(refine_alignments, refined):
             if pa2.score > alignment._pair.score:
                 task = alignment._task

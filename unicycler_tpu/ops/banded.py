@@ -507,6 +507,7 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar):
     from .tape import build_tapes
     from .pallas_tape import tape_forward, tape_with_traceback
     from .pallas_traceback import records_to_cigar
+    from ..utils import trace
 
     results = [None] * len(tasks)
     live = []
@@ -520,11 +521,14 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar):
     if not live:
         return results
     live_tasks = [tasks[i] for i in live]
-    launches = build_tapes(live_tasks, W, build_corridor)
+    with trace.span('tape_build'):
+        launches = build_tapes(live_tasks, W, build_corridor)
 
     # Phase 1: dispatch every launch; Phase 2: one merged flat fetch.
     pending = []
     for tp in launches:
+        trace.add('tape.launches')
+        trace.add('tape.rows', tp.L_real)
         per_task = (tp.cbase, tp.c0m, tp.c_n, tp.m_t, tp.n_t, tp.r_base,
                     tp.seg_start, tp.reset_slot, tp.cap_slot, tp.last_slot)
         if need_cigar:
@@ -545,8 +549,10 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar):
         for a in dev:
             flat_parts.append(jnp.ravel(a).astype(jnp.int32))
             shapes.append(a.shape)
-    all_flat = np.asarray(jnp.concatenate(flat_parts)) \
-        if len(flat_parts) > 1 else np.asarray(flat_parts[0])
+    with trace.span('tape_fetch'):
+        all_flat = np.asarray(jnp.concatenate(flat_parts)) \
+            if len(flat_parts) > 1 else np.asarray(flat_parts[0])
+    trace.add('tape.fetch_bytes', all_flat.nbytes)
     host_parts, offset = [], 0
     for shape in shapes:
         size = int(np.prod(shape))

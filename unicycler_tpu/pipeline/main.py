@@ -112,8 +112,10 @@ def main(arg_list=None):
     counter = itertools.count(start=1)
     bridges = []
 
+    from ..utils import trace
     if short_reads_available or args.short_read_graph:
-        graph = obtain_short_read_graph(args, counter)
+        with trace.span('short_read_assembly'):
+            graph = obtain_short_read_graph(args, counter)
         determine_copy_depth(graph)
         if args.keep > 0:
             graph.save_to_gfa(gfa_path(args.out, next(counter),
@@ -149,10 +151,11 @@ def main(arg_list=None):
     if long_reads_available and not args.no_miniasm:
         from ..asm.hybrid import MiniasmFailure, make_miniasm_string_graph
         try:
-            string_graph = make_miniasm_string_graph(
-                graph, read_dict, long_read_filename, scoring_scheme,
-                read_nicknames, counter, args, anchor_segments,
-                args.existing_long_read_assembly)
+            with trace.span('long_read_assembly'):
+                string_graph = make_miniasm_string_graph(
+                    graph, read_dict, long_read_filename, scoring_scheme,
+                    read_nicknames, counter, args, anchor_segments,
+                    args.existing_long_read_assembly)
         except MiniasmFailure as e:
             log.log('long-read assembly failed: %s' % e)
             string_graph = None
@@ -170,10 +173,11 @@ def main(arg_list=None):
                 graph, args.out, args.keep, args.threads, read_dict,
                 long_read_filename, scoring_scheme, anchor_segments)
         if not args.no_long_read_alignment:
-            read_names, min_scaled_score, min_alignment_length = \
-                align_long_reads_to_assembly_graph(
-                    graph, anchor_segments, args, read_dict, read_names,
-                    long_read_filename)
+            with trace.span('long_read_alignment'):
+                read_names, min_scaled_score, min_alignment_length = \
+                    align_long_reads_to_assembly_graph(
+                        graph, anchor_segments, args, read_dict,
+                        read_names, long_read_filename)
             expected_linear_seqs = args.linear_seqs > 0
             bridges += create_long_read_bridges(
                 graph, read_dict, read_names, anchor_segments,
@@ -182,8 +186,9 @@ def main(arg_list=None):
                 args.min_bridge_qual)
 
     if graph is not None:
-        seg_nums_used_in_bridges = graph.apply_bridges(
-            bridges, args.verbosity, args.min_bridge_qual)
+        with trace.span('apply_bridges'):
+            seg_nums_used_in_bridges = graph.apply_bridges(
+                bridges, args.verbosity, args.min_bridge_qual)
         if args.keep > 0:
             graph.save_to_gfa(gfa_path(args.out, next(counter),
                                        'bridges_applied'),
