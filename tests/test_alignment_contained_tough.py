@@ -80,13 +80,13 @@ class TestContainedReadAlignments:
 
 class TestToughAlignments:
     def test_tough_0(self):
-        # Reference scores 126074 at sensitivity 0 via its k=15 minimap
-        # seeding; our level-0 corridor reaches 125801 (99.78%) because the
-        # repetitive reference start seeds differently. At sensitivity 1 we
-        # score 126525, beating the reference. Asserted at our level-0 value
-        # with the level-1 superiority checked separately.
+        # Reference scores 126074 at sensitivity 0. With the wide
+        # REFINE_BAND survivor refinement our level-0 result reaches
+        # 126525, beating the reference's own test floor (the reference's
+        # test_semi_global_alignment.py asserts >= 126074; the full suite
+        # runs via tests/test_reference_parity_semi_global.py).
         read = run_alignment(TOUGH, '0', 0)
-        check(read, 125801, 90.90, exact_read_end=72402,
+        check(read, 126074, 91.07, exact_read_end=72402,
               exact_ref_start=0, ref_end=55814)
 
     def test_tough_0_level_1_beats_reference(self):

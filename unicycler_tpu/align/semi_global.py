@@ -263,8 +263,9 @@ def align_reads_to_refs(reads, references, scoring_scheme,
             refine_tasks.append(banded_ops.BandedTask(
                 q=task.banded.q, r=task.banded.r,
                 corridor_read=a_read, corridor_ref=a_ref))
-        band = settings.BAND_SIZES[min(sensitivity_level,
-                                       len(settings.BAND_SIZES) - 1)]
+        band = max(settings.REFINE_BAND,
+                   settings.BAND_SIZES[min(sensitivity_level,
+                                           len(settings.BAND_SIZES) - 1)])
         with trace.span('refine_pass'):
             refined = banded_ops.align_banded(
                 refine_tasks, scoring, config=pw.SEMI_GLOBAL, band=band,

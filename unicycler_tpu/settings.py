@@ -26,6 +26,11 @@ ALIGN_KMER_SIZES = (10, 10, 9, 8)         # fine k-mer size per level
 # (settings.h:22-25); the TPU kernel's band is padded to 128-lane multiples
 # anyway, so wider bands are nearly free and buy alignment quality.
 BAND_SIZES = (100, 150, 200, 250)
+# Band for the survivor-only corridor-refinement pass. Wider than the
+# search bands: refinement re-centers on the found path, and the extra
+# reach recovers score where the optimal path hugged the band edge
+# (tough_0: 125801 @ 100 -> 126525 @ 200, past the reference's 126074).
+REFINE_BAND = 200
 FINE_ANCHOR_MAX_DIST = 300                # corridor collection distance
 FINE_ANCHOR_MAX_OCC = 256                 # per-kmer occurrence cap
 MIN_LINE_TRACE_COUNTS = (2, 2, 3, 4)      # candidate corridors always tried
