@@ -500,7 +500,8 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     return results
 
 
-def align_banded_tape(tasks, scoring, config, W, need_cigar):
+def align_banded_tape(tasks, scoring, config, W, need_cigar,
+                      interpret=False):
     """Mega-batched path: every task of the call rides one tape launch
     (a few if the workload exceeds the per-launch row cap), with the
     traceback walked on device. See ops/tape.py for the layout."""
@@ -534,13 +535,14 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar):
         if need_cigar:
             score, end_i, end_j, records, fin = tape_with_traceback(
                 tp.q_tape, tp.flags, tp.r_flat, *per_task, tp.n_tasks,
-                scoring=scoring, config=config, W=W)
+                scoring=scoring, config=config, W=W, interpret=interpret)
             dev = [score, end_i, end_j,
                    records[:, :tp.L_real], jnp.ravel(fin)]
         else:
             score, end_i, end_j, _, _ = tape_forward(
                 tp.q_tape, tp.flags, tp.r_flat, *per_task,
-                scoring=scoring, config=config, W=W, need_moves=False)
+                scoring=scoring, config=config, W=W, need_moves=False,
+                interpret=interpret)
             dev = [score, end_i, end_j]
         pending.append((tp, dev))
 

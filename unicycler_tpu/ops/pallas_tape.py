@@ -177,11 +177,12 @@ def _row0_boundary(c0m, m_t, W, scoring, config):
 
 
 @functools.partial(
-    jax.jit, static_argnames=('scoring', 'config', 'W', 'need_moves'))
+    jax.jit,
+    static_argnames=('scoring', 'config', 'W', 'need_moves', 'interpret'))
 def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
                  seg_start, reset_slot, cap_slot, last_slot,
                  scoring: Scoring, config: AlignConfig, W: int,
-                 need_moves: bool):
+                 need_moves: bool, interpret: bool = False):
     """Run the tape DP. Returns (score, end_i, end_j) each (BT, TT) plus
     (moves (BT, L, W/8), c_rel (BT, L)) for traceback chaining."""
     B, L = q_tape.shape
@@ -247,6 +248,7 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
     outs = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((BT, T, W), lambda ch: (0, ch, 0),
                          memory_space=pltpu.VMEM),          # cellinfo
@@ -419,8 +421,9 @@ def _make_tape_traceback_kernel(T, W, n_chunks, TT):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=('W',))
-def tape_traceback(moves, c_rel, n_tasks, end_abs, end_j, seg_start, W):
+@functools.partial(jax.jit, static_argnames=('W', 'interpret'))
+def tape_traceback(moves, c_rel, n_tasks, end_abs, end_j, seg_start, W,
+                   interpret: bool = False):
     """On-device traceback over a whole tape. Returns (records (BT, L)
     int32, fin (BT, TT, 3) = (final local i, final j, stop code))."""
     B, L, w8 = moves.shape
@@ -431,6 +434,7 @@ def tape_traceback(moves, c_rel, n_tasks, end_abs, end_j, seg_start, W):
     rec, fin = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec((1, T, w8), lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.VMEM),
@@ -458,18 +462,22 @@ def tape_traceback(moves, c_rel, n_tasks, end_abs, end_j, seg_start, W):
     return rec[:, :, 0], fin[:, :, :3]
 
 
-@functools.partial(jax.jit, static_argnames=('scoring', 'config', 'W'))
+@functools.partial(
+    jax.jit, static_argnames=('scoring', 'config', 'W', 'interpret'))
 def tape_with_traceback(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t,
                         r_base, seg_start, reset_slot, cap_slot, last_slot,
-                        n_tasks, scoring, config, W):
+                        n_tasks, scoring, config, W,
+                        interpret: bool = False):
     """Forward tape DP + chained on-device traceback in one jit."""
     score, end_i, end_j, moves, c_rel = tape_forward(
         q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         seg_start, reset_slot, cap_slot, last_slot,
-        scoring=scoring, config=config, W=W, need_moves=True)
+        scoring=scoring, config=config, W=W, need_moves=True,
+        interpret=interpret)
     valid = n_t > 0
     end_abs = jnp.where(valid, seg_start + end_i, 0)
     ej = jnp.where(valid, end_j, 0)
     ss = jnp.where(valid, seg_start, 0)
-    records, fin = tape_traceback(moves, c_rel, n_tasks, end_abs, ej, ss, W)
+    records, fin = tape_traceback(moves, c_rel, n_tasks, end_abs, ej, ss, W,
+                                  interpret=interpret)
     return score, end_i, end_j, records, fin
