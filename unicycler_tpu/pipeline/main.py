@@ -38,62 +38,176 @@ from .rotation import rotate_completed_replicons
 
 
 def get_arguments(args=None):
-    """CLI argument surface (parity with ref unicycler.py:192-469)."""
+    """CLI argument surface (parity with ref unicycler.py:192-469):
+    the same two-tier help (--help basic / --help_all everything), the
+    same option names and defaults, and absolutised input paths. The
+    external-tool path options (--spades_path etc.) are accepted for
+    drop-in compatibility; the in-framework assembler/polisher/rotation
+    replace those subprocesses, so they are only recorded."""
+    argv = sys.argv[1:] if args is None else args
+    show_all = '--help_all' in argv
+
+    def ext(text):
+        return text if show_all else argparse.SUPPRESS
+
     parser = argparse.ArgumentParser(
-        description='unicycler_tpu: TPU-native hybrid assembly pipeline',
-        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    parser.add_argument('-1', '--short1', help='FASTQ file of first short '
-                        'reads in each pair')
-    parser.add_argument('-2', '--short2', help='FASTQ file of second short '
-                        'reads in each pair')
-    parser.add_argument('-s', '--unpaired', help='FASTQ file of unpaired '
-                        'short reads')
-    parser.add_argument('-l', '--long', help='FASTQ or FASTA file of long '
-                        'reads')
-    parser.add_argument('-o', '--out', required=True,
-                        help='Output directory')
-    parser.add_argument('--verbosity', type=int, default=1)
-    parser.add_argument('--keep', type=int, default=1,
-                        help='Level of file retention (0-3)')
-    parser.add_argument('-t', '--threads', type=int, default=1)
-    parser.add_argument('--mode', choices=['conservative', 'normal', 'bold'],
-                        default='normal')
-    parser.add_argument('--min_fasta_length', type=int, default=100)
-    parser.add_argument('--linear_seqs', type=int, default=0,
-                        help='Expected number of linear sequences')
-    parser.add_argument('--min_anchor_seg_len', type=int, default=None)
-    parser.add_argument('--scores', default='3,-6,-5,-2',
-                        help='Alignment scoring scheme')
-    parser.add_argument('--low_score', type=float, default=None)
-    parser.add_argument('--min_component_size', type=int, default=1000)
-    parser.add_argument('--min_dead_end_size', type=int, default=1000)
-    parser.add_argument('--depth_filter', type=float, default=0.25)
-    parser.add_argument('--largest_component', action='store_true')
-    parser.add_argument('--no_miniasm', action='store_true')
-    parser.add_argument('--no_simple_bridges', action='store_true')
-    parser.add_argument('--no_long_read_alignment', action='store_true')
-    parser.add_argument('--no_rotate', action='store_true')
-    parser.add_argument('--existing_long_read_assembly', default=None)
-    parser.add_argument('--short_read_graph', default=None,
-                        help='Existing short-read assembly graph (GFA) to '
-                        'use instead of running the built-in assembler')
-    parser.add_argument('--contamination', default=None)
-    parser.add_argument('--start_genes', default=None,
-                        help='Protein FASTA of replicon start genes '
-                        '(dnaA/repA) for rotation')
-    parser.add_argument('--start_gene_id', type=float, default=90.0)
-    parser.add_argument('--start_gene_cov', type=float, default=95.0)
-    parser.add_argument('--kmer_count', type=int, default=8)
-    parser.add_argument('--min_kmer_frac', type=float, default=0.2)
-    parser.add_argument('--max_kmer_frac', type=float, default=0.95)
-    parser.add_argument('--kmers', default=None)
-    parser.add_argument('--version', action='version',
-                        version='unicycler_tpu v' + __version__)
+        description='Unicycler: an assembly pipeline for bacterial '
+                    'genomes (TPU-native implementation)',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        add_help=False)
+    basic = parser.add_argument_group('Help')
+    basic.add_argument('-h', '--help', action='help',
+                       help='Show this help message and exit')
+    basic.add_argument('--help_all', action='help',
+                       help='Show a help message with all program options')
+    basic.add_argument('--version', action='version',
+                       version='Unicycler (TPU) v' + __version__,
+                       help='Show the program version and exit')
+
+    inp = parser.add_argument_group('Input')
+    inp.add_argument('-1', '--short1',
+                     help='FASTQ file of first short reads in each pair')
+    inp.add_argument('-2', '--short2',
+                     help='FASTQ file of second short reads in each pair')
+    inp.add_argument('-s', '--unpaired',
+                     help='FASTQ file of unpaired short reads')
+    inp.add_argument('-l', '--long',
+                     help='FASTQ or FASTA file of long reads')
+
+    out = parser.add_argument_group('Output')
+    out.add_argument('-o', '--out', required=('--help' not in argv
+                                              and '-h' not in argv
+                                              and not show_all),
+                     help='Output directory')
+    out.add_argument('--verbosity', type=int, default=1,
+                     help='Level of stdout and log file information')
+    out.add_argument('--min_fasta_length', type=int, default=100,
+                     help='Exclude contigs from the FASTA file which are '
+                          'shorter than this length')
+    out.add_argument('--keep', type=int, default=1,
+                     help='Level of file retention')
+
+    other = parser.add_argument_group('Other')
+    other.add_argument('-t', '--threads', type=int,
+                       default=min(os.cpu_count() or 1, 8),
+                       help='Number of threads used')
+    other.add_argument('--mode', default='normal',
+                       choices=['conservative', 'normal', 'bold'],
+                       help='Bridging mode')
+    other.add_argument('--min_bridge_qual', type=float, default=None,
+                       help=ext('Do not apply bridges with a quality below '
+                                'this value (default: set by --mode)'))
+    other.add_argument('--linear_seqs', type=int, default=0,
+                       help='The expected number of linear (i.e. '
+                            'non-circular) sequences in the underlying '
+                            'sequence')
+    other.add_argument('--min_anchor_seg_len', type=int, default=None,
+                       help=ext('Minimum length for anchor segments'))
+
+    spades = parser.add_argument_group('SPAdes-compatible assembly options')
+    spades.add_argument('--spades_path', default='spades.py',
+                        help=ext('Path to the SPAdes executable (accepted '
+                                 'for compatibility; the built-in de '
+                                 'Bruijn assembler is used)'))
+    spades.add_argument('--spades_options', default=None,
+                        help=ext('Additional SPAdes options (compatibility)'))
+    spades.add_argument('--no_correct', action='store_true',
+                        help=ext('Skip read error correction'))
+    spades.add_argument('--min_kmer_frac', type=float, default=0.2,
+                        help=ext('Lowest k-mer size for assembly, '
+                                 'expressed as a fraction of the read '
+                                 'length'))
+    spades.add_argument('--max_kmer_frac', type=float, default=0.95,
+                        help=ext('Highest k-mer size for assembly, '
+                                 'expressed as a fraction of the read '
+                                 'length'))
+    spades.add_argument('--kmers', default=None,
+                        help=ext('Exact k-mers to use for assembly, '
+                                 'comma-separated'))
+    spades.add_argument('--kmer_count', type=int, default=8,
+                        help=ext('Number of k-mer steps to use in assembly'))
+    spades.add_argument('--depth_filter', type=float, default=0.25,
+                        help=ext('Filter out contigs lower than this '
+                                 'fraction of the chromosomal depth'))
+    spades.add_argument('--largest_component', action='store_true',
+                        help=ext('Only keep the largest connected '
+                                 'component of the assembly graph'))
+    spades.add_argument('--short_read_graph', default=None,
+                        help=ext('Existing short-read assembly graph '
+                                 '(GFA, e.g. from SPAdes) to use instead '
+                                 'of the built-in assembler'))
+
+    miniasm = parser.add_argument_group('miniasm+Racon assembly options')
+    miniasm.add_argument('--no_miniasm', action='store_true',
+                         help=ext('Skip miniasm+Racon bridging'))
+    miniasm.add_argument('--racon_path', default='racon',
+                         help=ext('Path to the Racon executable (accepted '
+                                  'for compatibility; the built-in '
+                                  'polisher is used)'))
+    miniasm.add_argument('--existing_long_read_assembly', default=None,
+                         help=ext('A pre-prepared long-read assembly '
+                                  '(GFA) to use for bridging'))
+
+    rotation = parser.add_argument_group('Assembly rotation')
+    rotation.add_argument('--no_rotate', action='store_true',
+                          help=ext('Do not rotate completed replicons to '
+                                   'start at a standard gene'))
+    rotation.add_argument('--start_genes', default=None,
+                          help=ext('FASTA file of genes for start point '
+                                   'of rotated replicons'))
+    rotation.add_argument('--start_gene_id', type=float, default=90.0,
+                          help=ext('The minimum required BLAST percent '
+                                   'identity for a start gene search'))
+    rotation.add_argument('--start_gene_cov', type=float, default=95.0,
+                          help=ext('The minimum required BLAST percent '
+                                   'coverage for a start gene search'))
+    rotation.add_argument('--makeblastdb_path', default='makeblastdb',
+                          help=ext('Path to the makeblastdb executable '
+                                   '(accepted for compatibility; the '
+                                   'built-in translated search is used)'))
+    rotation.add_argument('--tblastn_path', default='tblastn',
+                          help=ext('Path to the tblastn executable '
+                                   '(accepted for compatibility; the '
+                                   'built-in translated search is used)'))
+
+    graph = parser.add_argument_group('Graph cleaning')
+    graph.add_argument('--min_component_size', type=int, default=1000,
+                       help=ext('Graph components smaller than this size '
+                                'will be removed from the final graph'))
+    graph.add_argument('--min_dead_end_size', type=int, default=1000,
+                       help=ext('Graph dead ends smaller than this size '
+                                'will be removed from the final graph'))
+
+    align = parser.add_argument_group('Long read alignment')
+    align.add_argument('--contamination', default=None,
+                       help=ext('FASTA file of known contamination in the '
+                                'long reads'))
+    align.add_argument('--scores', default='3,-6,-5,-2',
+                       help=ext('Comma-delimited string of alignment '
+                                'scores: match, mismatch, gap open, gap '
+                                'extend'))
+    align.add_argument('--low_score', type=float, default=None,
+                       help=ext('Score threshold - alignments below this '
+                                'are considered poor (default: set '
+                                'automatically)'))
+    align.add_argument('--no_simple_bridges', action='store_true',
+                       help=ext('Skip simple long-read bridging'))
+    align.add_argument('--no_long_read_alignment', action='store_true',
+                       help=ext('Skip the full long-read alignment '
+                                'bridging step'))
+
     parsed = parser.parse_args(args)
+    for attr in ('short1', 'short2', 'unpaired', 'long', 'out',
+                 'contamination', 'start_genes', 'short_read_graph',
+                 'existing_long_read_assembly'):
+        val = getattr(parsed, attr, None)
+        if val is not None:
+            setattr(parsed, attr, os.path.abspath(val))
     parsed.mode = {'conservative': 0, 'normal': 1, 'bold': 2}[parsed.mode]
-    parsed.min_bridge_qual = [settings.CONSERVATIVE_MIN_BRIDGE_QUAL,
-                              settings.NORMAL_MIN_BRIDGE_QUAL,
-                              settings.BOLD_MIN_BRIDGE_QUAL][parsed.mode]
+    if parsed.min_bridge_qual is None:
+        parsed.min_bridge_qual = [settings.CONSERVATIVE_MIN_BRIDGE_QUAL,
+                                  settings.NORMAL_MIN_BRIDGE_QUAL,
+                                  settings.BOLD_MIN_BRIDGE_QUAL][parsed.mode]
     return parsed
 
 
