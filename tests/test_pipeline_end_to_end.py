@@ -93,6 +93,22 @@ def test_cli_surface(tmp_path, capsys):
         get_arguments([])          # missing required -o
 
 
+def test_spades_gfa_interop(tmp_path):
+    """External-SPAdes interop: the reference's real SPAdes-derived GFA
+    fixture (segments, links, P-line paths) drives the whole pipeline
+    via --short_read_graph with no reads at all."""
+    from unicycler_tpu.pipeline.main import main
+    out = str(tmp_path / 'out')
+    main(['--short_read_graph',
+          '/root/reference/test/test_assembly_graph.gfa',
+          '-o', out, '--verbosity', '0'])
+    contigs = load_fasta(os.path.join(out, 'assembly.fasta'))
+    assert len(contigs) > 50
+    total = sum(len(seq) for _, seq in contigs)
+    assert total > 150000
+    assert os.path.exists(os.path.join(out, 'assembly.gfa'))
+
+
 def test_hybrid_assembly_with_repeat(tmp_path):
     """A genome with a 500 bp repeat: short reads alone cannot resolve it
     (3 contigs), long reads bridge it back to one circular contig."""

@@ -220,7 +220,8 @@ def main(arg_list=None):
 
     short_reads_available = bool(args.short1) or bool(args.unpaired)
     long_reads_available = bool(args.long)
-    if not short_reads_available and not long_reads_available:
+    if not short_reads_available and not long_reads_available \
+            and not args.short_read_graph:
         quit_with_error('no input reads provided')
 
     counter = itertools.count(start=1)
