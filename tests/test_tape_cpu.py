@@ -81,6 +81,28 @@ def test_tape_score_only_matches():
         assert (g.s1_end, g.s2_end) == (w.s1_end, w.s2_end)
 
 
+def test_tape_multi_device_matches():
+    """Multi-chip data parallelism: tasks partitioned over the 8 virtual
+    devices, each running its own tape launches, must reproduce the
+    single-path results exactly."""
+    import jax
+    from unicycler_tpu.ops.banded import align_banded_multi
+    devices = jax.devices()
+    assert len(devices) >= 8
+    rng = np.random.default_rng(3)
+    scoring = Scoring(3, -6, -5, -2)
+    tasks = _tasks(rng, [60, 90, 120, 150, 180, 210, 240, 270, 300, 110,
+                         130, 170, 190, 230, 250, 80, 70, 100])
+    want = align_banded(tasks, scoring, config=SEMI_GLOBAL, band=40)
+    got = align_banded_multi(tasks, scoring, SEMI_GLOBAL, 128, True,
+                             devices[:8], interpret=True)
+    for g, w in zip(got, want):
+        assert g.score == w.score
+        assert g.cigar == w.cigar
+        assert (g.s1_start, g.s1_end, g.s2_start, g.s2_end) == \
+            (w.s1_start, w.s1_end, w.s2_start, w.s2_end)
+
+
 def test_tape_empty_and_degenerate_tasks():
     rng = np.random.default_rng(9)
     scoring = Scoring(3, -6, -5, -2)

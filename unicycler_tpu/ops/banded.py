@@ -339,8 +339,12 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     from .encode import bucket_length, pad_to, Q_PAD
     W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
     from ..parallel.mesh import get_default_mesh
-    if (jax.devices()[0].platform != 'cpu'
-            and get_default_mesh() is None):
+    if jax.devices()[0].platform != 'cpu':
+        mesh = get_default_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            return align_banded_multi(tasks, scoring, config, W,
+                                      need_cigar,
+                                      list(mesh.devices.flat))
         return align_banded_tape(tasks, scoring, config, W, need_cigar)
     results: List[PairAlignment] = [None] * len(tasks)
     # bucket by (n_pad, m_pad)
@@ -500,17 +504,7 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     return results
 
 
-def align_banded_tape(tasks, scoring, config, W, need_cigar,
-                      interpret=False):
-    """Mega-batched path: every task of the call rides one tape launch
-    (a few if the workload exceeds the per-launch row cap), with the
-    traceback walked on device. See ops/tape.py for the layout."""
-    from .tape import build_tapes
-    from .pallas_tape import tape_forward, tape_with_traceback
-    from .pallas_traceback import records_to_cigar
-    from ..utils import trace
-
-    results = [None] * len(tasks)
+def _filter_degenerate(tasks, results):
     live = []
     for i, t in enumerate(tasks):
         if len(t.q) == 0 or len(t.r) == 0:
@@ -519,33 +513,49 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar,
                                        s1_len=len(t.q), s2_len=len(t.r))
         else:
             live.append(i)
-    if not live:
-        return results
-    live_tasks = [tasks[i] for i in live]
+    return live
+
+
+def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
+                   interpret=False, device=None):
+    """Build tapes and launch the kernels (async). Returns the pending
+    list of (TapeLaunch, device arrays)."""
+    from .tape import build_tapes
+    from .pallas_tape import tape_forward, tape_with_traceback
+    from ..utils import trace
     with trace.span('tape_build'):
         launches = build_tapes(live_tasks, W, build_corridor)
-
-    # Phase 1: dispatch every launch; Phase 2: one merged flat fetch.
+    put = (lambda x: jax.device_put(x, device)) if device is not None \
+        else (lambda x: x)
     pending = []
     for tp in launches:
         trace.add('tape.launches')
         trace.add('tape.rows', tp.L_real)
-        per_task = (tp.cbase, tp.c0m, tp.c_n, tp.m_t, tp.n_t, tp.r_base,
-                    tp.seg_start, tp.reset_slot, tp.cap_slot, tp.last_slot)
+        per_task = tuple(put(a) for a in
+                         (tp.cbase, tp.c0m, tp.c_n, tp.m_t, tp.n_t,
+                          tp.r_base, tp.seg_start, tp.reset_slot,
+                          tp.cap_slot, tp.last_slot))
+        main_in = (put(tp.q_tape), put(tp.flags), put(tp.r_flat))
         if need_cigar:
             score, end_i, end_j, records, fin = tape_with_traceback(
-                tp.q_tape, tp.flags, tp.r_flat, *per_task, tp.n_tasks,
+                *main_in, *per_task, put(tp.n_tasks),
                 scoring=scoring, config=config, W=W, interpret=interpret)
             dev = [score, end_i, end_j,
                    records[:, :tp.L_real], jnp.ravel(fin)]
         else:
             score, end_i, end_j, _, _ = tape_forward(
-                tp.q_tape, tp.flags, tp.r_flat, *per_task,
+                *main_in, *per_task,
                 scoring=scoring, config=config, W=W, need_moves=False,
                 interpret=interpret)
             dev = [score, end_i, end_j]
         pending.append((tp, dev))
+    return pending
 
+
+def _tape_collect(pending):
+    """One merged flat device->host fetch for a pending list; returns the
+    per-launch host arrays."""
+    from ..utils import trace
     flat_parts, shapes = [], []
     for _, dev in pending:
         for a in dev:
@@ -560,13 +570,83 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar,
         size = int(np.prod(shape))
         host_parts.append(all_flat[offset:offset + size].reshape(shape))
         offset += size
+    grouped, pi = [], 0
+    for _, dev in pending:
+        grouped.append(host_parts[pi:pi + len(dev)])
+        pi += len(dev)
+    return grouped
 
+
+def align_banded_tape(tasks, scoring, config, W, need_cigar,
+                      interpret=False):
+    """Mega-batched path: every task of the call rides one tape launch
+    (a few if the workload exceeds the per-launch row cap), with the
+    traceback walked on device. See ops/tape.py for the layout."""
+    results = [None] * len(tasks)
+    live = _filter_degenerate(tasks, results)
+    if not live:
+        return results
+    pending = _tape_dispatch([tasks[i] for i in live], scoring, config, W,
+                             need_cigar, interpret)
+    grouped = _tape_collect(pending)
+    retry = _tape_decode(results, live, pending, grouped, need_cigar,
+                         config)
+    if retry:
+        retried = _align_banded_moves_path(
+            [tasks[i] for i in retry], scoring, config, W, need_cigar)
+        for i, pa in zip(retry, retried):
+            results[i] = pa
+    return results
+
+
+def align_banded_multi(tasks, scoring, config, W, need_cigar, devices,
+                       interpret=False):
+    """Data-parallel tape path over multiple devices: tasks are
+    partitioned by row count, each device gets its own tape launches
+    (committed inputs -> the kernels execute on that device,
+    concurrently), and results are fetched per device. This is the
+    multi-chip scaling story for alignment — embarrassingly parallel
+    over reads, no collectives needed until the stats merge
+    (parallel/mesh.sharded_align_stats)."""
+    results = [None] * len(tasks)
+    live = _filter_degenerate(tasks, results)
+    if not live:
+        return results
+    # greedy balance by DP row count
+    order = sorted(live, key=lambda i: -len(tasks[i].q))
+    loads = [0] * len(devices)
+    parts = [[] for _ in devices]
+    for i in order:
+        d = loads.index(min(loads))
+        parts[d].append(i)
+        loads[d] += len(tasks[i].q)
+    all_pending = []
+    for dev, idxs in zip(devices, parts):
+        if not idxs:
+            continue
+        pending = _tape_dispatch([tasks[i] for i in idxs], scoring,
+                                 config, W, need_cigar, interpret,
+                                 device=dev)
+        all_pending.append((idxs, pending))
     retry = []
-    pi = 0
-    for tp, dev in pending:
-        n = len(dev)
-        parts = host_parts[pi:pi + n]
-        pi += n
+    for idxs, pending in all_pending:
+        grouped = _tape_collect(pending)
+        retry += _tape_decode(results, idxs, pending, grouped, need_cigar,
+                              config)
+    if retry:
+        retried = _align_banded_moves_path(
+            [tasks[i] for i in retry], scoring, config, W, need_cigar)
+        for i, pa in zip(retry, retried):
+            results[i] = pa
+    return results
+
+
+def _tape_decode(results, live, pending, grouped, need_cigar, config):
+    """Decode fetched tape outputs into PairAlignments; returns the task
+    indices needing the band-escape retry path."""
+    from .pallas_traceback import records_to_cigar
+    retry = []
+    for (tp, dev), parts in zip(pending, grouped):
         score, end_i, end_j = parts[0], parts[1], parts[2]
         records = parts[3] if need_cigar else None
         fin = parts[4].reshape(8, tp.TT, 3) if need_cigar else None
@@ -599,12 +679,7 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar,
                 results[gi] = PairAlignment(
                     score=sc, s1_start=si, s1_end=ei, s2_start=sj,
                     s2_end=ej, cigar=cigar, s1_len=n_act, s2_len=m_act)
-    if retry:
-        retried = _align_banded_moves_path(
-            [tasks[i] for i in retry], scoring, config, W, need_cigar)
-        for i, pa in zip(retry, retried):
-            results[i] = pa
-    return results
+    return retry
 
 
 def _align_banded_moves_path(task_list, scoring, config, W, need_cigar):
