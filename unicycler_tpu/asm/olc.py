@@ -348,6 +348,99 @@ class OLCAssembler(object):
             self._remove_read(base)
             adj = self._build_adj()
 
+    # unitig-end classifications (ref miniasm asg.cpp:213-235)
+    _ET_MERGEABLE, _ET_TIP, _ET_MULTI_OUT, _ET_MULTI_NEI = 0, 1, 2, 3
+
+    def _end_class(self, adj, v):
+        """Classify the unitig end at vertex v (asg_is_utg_end: examines
+        the live arcs leaving flip(v)). Returns (code, continuation)."""
+        outs = adj.get(flip_segment_name(v), [])
+        if len(outs) == 0:
+            return self._ET_TIP, None
+        if len(outs) > 1:
+            return self._ET_MULTI_OUT, None
+        t = outs[0][0]
+        if len(adj.get(flip_segment_name(t), [])) != 1:
+            return self._ET_MULTI_NEI, t
+        return self._ET_MERGEABLE, t
+
+    def _extend(self, adj, v, max_ext):
+        """Walk a unitig from v for at most max_ext steps (asg_extend);
+        returns (terminating classification, visited vertices)."""
+        chain = [v]
+        while True:
+            code, nxt = self._end_class(adj, flip_segment_name(v))
+            if code != self._ET_MERGEABLE:
+                return code, chain
+            chain.append(nxt)
+            v = nxt
+            max_ext -= 1
+            if max_ext <= 0:
+                return self._ET_MERGEABLE, chain
+
+    def _vertices(self):
+        seen = set()
+        for (u, v) in self.arcs:
+            seen.add(u)
+            seen.add(v)
+            seen.add(flip_segment_name(u))
+            seen.add(flip_segment_name(v))
+        return sorted(seen)
+
+    def _cut_short_internal(self, max_ext=1):
+        """Remove short unitigs whose BOTH ends attach to branching
+        neighbours — internal sequences that bridge unrelated paths
+        (ref asg.cpp cut_short_internal:271-289). Contig-backed reads
+        are immune, like everywhere else in this pipeline."""
+        adj = self._build_adj()
+        cut = 0
+        for v in self._vertices():
+            if v[:-1] in self.contained:
+                continue
+            if self._end_class(adj, v)[0] != self._ET_MULTI_NEI:
+                continue
+            code, chain = self._extend(adj, v, max_ext)
+            if code != self._ET_MULTI_NEI:
+                continue
+            if any(is_contig(seg[:-1]) for seg in chain):
+                continue
+            for seg in chain:
+                self._remove_read(seg[:-1])
+            cut += 1
+            adj = self._build_adj()
+        return cut
+
+    def _cut_biloops(self):
+        """Cut small bi-loops: w -> v -> ... -> x' while also w -> x;
+        drop the weaker w -> x arc when the through-path overlap is
+        stronger (ref asg.cpp cut_biloops:290-325)."""
+        adj = self._build_adj()
+        cut = 0
+        for v in self._vertices():
+            if v[:-1] in self.contained:
+                continue
+            if self._end_class(adj, v)[0] != self._ET_MULTI_NEI:
+                continue
+            code, chain = self._extend(adj, v, self.max_ext)
+            if code != self._ET_MULTI_OUT:
+                continue
+            x = flip_segment_name(chain[-1])
+            ins = adj.get(flip_segment_name(v), [])
+            if len(ins) != 1:
+                continue
+            w = flip_segment_name(ins[0][0])
+            ov = ox = 0
+            for t, _, ol, _ in adj.get(w, []):
+                if t == x:
+                    ox = ol
+                if t == v:
+                    ov = ol
+            if ox and ov > ox:
+                self._del_arc(w, x)
+                cut += 1
+                adj = self._build_adj()
+        return cut
+
     def _del_short_arcs(self, drop_ratio):
         """Drop arcs much shorter than a vertex's best overlap
         (asg_arc_del_short)."""
@@ -420,6 +513,12 @@ class OLCAssembler(object):
             if self._del_short_arcs(r):
                 self._cut_tips()
                 self._pop_bubbles()
+        # Step 4.4: short internal sequences and bi-loops
+        # (ref miniasm_assembly.cpp:163-168)
+        if self._cut_short_internal(1) + self._cut_biloops():
+            self._cut_tips()
+            self._pop_bubbles()
+        # Step 4.5: aggressive short-overlap cut
         if self._del_short_arcs(0.8):
             self._cut_tips()
             self._pop_bubbles()
