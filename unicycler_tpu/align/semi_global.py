@@ -203,24 +203,42 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                                          clusters[:max_traces], band))
         if not tasks:
             continue
-        # Single full pass: with the on-device traceback the per-task
-        # result is ~2 bytes/row, so aligning every candidate WITH its
-        # CIGAR is cheaper than the old score-only prefilter + rerun
-        # (which paid an extra dispatch/fetch round trip and computed
-        # the winners' DP twice). Losing candidates are dropped by the
-        # same winner filter afterwards.
-        with trace.span('traceback_pass'):
-            results = banded_ops.align_banded(
-                [t.banded for t in tasks], scoring, config=pw.SEMI_GLOBAL,
-                band=band, need_cigar=True)
         task_counts = {}
         for t in tasks:
             task_counts[id(t.read)] = task_counts.get(id(t.read), 0) + 1
-        keep = set(_select_winner_tasks(tasks, results))
-        keep |= {i for i, t in enumerate(tasks)
-                 if task_counts[id(t.read)] == 1}
-        tasks = [t for i, t in enumerate(tasks) if i in keep]
-        results = [r for i, r in enumerate(results) if i in keep]
+        if banded_ops.has_device_traceback():
+            # Single full pass: with the on-device traceback the
+            # per-task result is ~2 bytes/row, so aligning every
+            # candidate WITH its CIGAR is cheaper than a score-only
+            # prefilter + rerun (an extra dispatch/fetch round trip and
+            # the winners' DP twice). Losers are filtered afterwards.
+            with trace.span('traceback_pass'):
+                results = banded_ops.align_banded(
+                    [t.banded for t in tasks], scoring,
+                    config=pw.SEMI_GLOBAL, band=band, need_cigar=True)
+            keep = set(_select_winner_tasks(tasks, results))
+            keep |= {i for i, t in enumerate(tasks)
+                     if task_counts[id(t.read)] == 1}
+            tasks = [t for i, t in enumerate(tasks) if i in keep]
+            results = [r for i, r in enumerate(results) if i in keep]
+        else:
+            # CPU/XLA path: move matrices are materialised per
+            # candidate, so a score-only prefilter pass still pays.
+            single = [t for t in tasks if task_counts[id(t.read)] == 1]
+            multi = [t for t in tasks if task_counts[id(t.read)] > 1]
+            if multi:
+                with trace.span('score_pass'):
+                    prelim = banded_ops.align_banded(
+                        [t.banded for t in multi], scoring,
+                        config=pw.SEMI_GLOBAL, band=band,
+                        need_cigar=False)
+                winners = _select_winner_tasks(multi, prelim)
+                multi = [multi[i] for i in winners]
+            tasks = single + multi
+            with trace.span('traceback_pass'):
+                results = banded_ops.align_banded(
+                    [t.banded for t in tasks], scoring,
+                    config=pw.SEMI_GLOBAL, band=band, need_cigar=True)
         for task, pa in zip(tasks, results):
             if pa.s1_end <= pa.s1_start:
                 continue

@@ -504,6 +504,15 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     return results
 
 
+def has_device_traceback():
+    """True when align_banded will route through the tape kernels (the
+    traceback is walked on device and per-task results are ~2 B/row).
+    Drivers use this to decide whether a score-only prefilter pass is
+    worth it: on the CPU/XLA path move matrices are materialised per
+    candidate, so prefiltering still pays."""
+    return jax.devices()[0].platform != 'cpu'
+
+
 def _filter_degenerate(tasks, results):
     live = []
     for i, t in enumerate(tasks):
