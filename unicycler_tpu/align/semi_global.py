@@ -85,6 +85,30 @@ def get_random_sequence_alignment_mean_and_std_dev(seq_len, count,
     return float(np.mean(scaled)), float(np.std(scaled))
 
 
+def _dump_seed_debug(debug_dir, read, level, clusters):
+    """Verbosity-4 seed diagnostics: one TSV per read/level with every
+    candidate cluster's span, strand, and chained anchor dots (the role
+    of the reference aligner's k-mer cloud / trace dot dumps,
+    ref src/semi_global_align.cpp:654-734)."""
+    import os
+    os.makedirs(debug_dir, exist_ok=True)
+    safe = ''.join(c if c.isalnum() or c in '._-' else '_'
+                   for c in read.name)[:80]
+    path = os.path.join(debug_dir, 'seeds_%s_level%d.tsv' % (safe, level))
+    with open(path, 'w') as f:
+        f.write('cluster\tref_id\tstrand\tread_start\tread_end\t'
+                'ref_start\tref_end\tn_hits\n')
+        for ci, cl in enumerate(clusters):
+            f.write('%d\t%d\t%s\t%d\t%d\t%d\t%d\t%d\n'
+                    % (ci, cl.ref_id, '-' if cl.rev_comp else '+',
+                       cl.read_start, cl.read_end, cl.ref_start,
+                       cl.ref_end, cl.n_hits))
+        f.write('# anchor dots (cluster, read_pos, ref_pos)\n')
+        for ci, cl in enumerate(clusters):
+            for rp, fp in zip(cl.anchors_read, cl.anchors_ref):
+                f.write('%d\t%d\t%d\n' % (ci, int(rp), int(fp)))
+
+
 class _Task(object):
     """One (read, strand, reference window) banded-alignment task."""
     __slots__ = ('read', 'ref', 'rev_comp', 'window_start', 'banded')
@@ -175,7 +199,7 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                         sensitivity_level=0, keep_bad=False,
                         low_score_threshold=None,
                         min_align_length=settings.MIN_LONG_READ_ALIGNMENT_LENGTH,
-                        allowed_overlap=0):
+                        allowed_overlap=0, debug_dir=None):
     """Core batched aligner: fills read.alignments for every read.
 
     Tries every sensitivity level 0..sensitivity_level, accumulating
@@ -198,6 +222,8 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                 if read.get_length() < min_align_length:
                     continue
                 clusters = index.lookup(read.codes)
+                if debug_dir is not None:
+                    _dump_seed_debug(debug_dir, read, level, clusters)
                 max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
                 tasks.extend(_make_tasks(read, references,
                                          clusters[:max_traces], band))
@@ -338,13 +364,20 @@ def semi_global_align_long_reads(references, ref_fasta, read_dict, read_names,
                                                   show_progress=False)
     reference_dict = {x.name: x for x in references}
 
+    debug_dir = None
+    if verbosity >= 4 and sam_filename:
+        import os
+        debug_dir = os.path.join(os.path.dirname(sam_filename),
+                                 'seed_debug')
+
     reads_to_align = [read_dict[x] for x in read_names]
     align_reads_to_refs(reads_to_align, references, scoring_scheme,
                         sensitivity_level=sensitivity_level,
                         keep_bad=keep_bad,
                         low_score_threshold=low_score_threshold,
                         min_align_length=min_align_length,
-                        allowed_overlap=allowed_overlap)
+                        allowed_overlap=allowed_overlap,
+                        debug_dir=debug_dir)
 
     if verbosity > 0:
         print_alignment_summary_table(read_dict, verbosity)
