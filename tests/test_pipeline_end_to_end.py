@@ -93,6 +93,26 @@ def test_cli_surface(tmp_path, capsys):
         get_arguments([])          # missing required -o
 
 
+def test_verbosity_monotonic_stdout(tmp_path, capfd):
+    """stdout grows (weakly) with verbosity — the property the
+    reference's random_sequence_assembly_test.py:193-214 asserts."""
+    from unicycler_tpu.pipeline.main import main
+    genome = rand_genome(4000, 7)
+    pairs_1, pairs_2 = make_fake_short_reads(genome)
+    r1 = str(tmp_path / 'r1.fastq')
+    r2 = str(tmp_path / 'r2.fastq')
+    write_fastq(r1, pairs_1)
+    write_fastq(r2, pairs_2)
+    sizes = []
+    for v in (0, 1, 2):
+        out = str(tmp_path / ('out%d' % v))
+        main(['-1', r1, '-2', r2, '-o', out, '--verbosity', str(v),
+              '--keep', '0', '--kmers', '21,41'])
+        sizes.append(len(capfd.readouterr().out))
+    assert sizes[0] <= sizes[1] <= sizes[2], sizes
+    assert sizes[2] > sizes[0]
+
+
 def test_spades_gfa_interop(tmp_path):
     """External-SPAdes interop: the reference's real SPAdes-derived GFA
     fixture (segments, links, P-line paths) drives the whole pipeline
