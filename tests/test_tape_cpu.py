@@ -103,6 +103,44 @@ def test_tape_multi_device_matches():
             (w.s1_start, w.s1_end, w.s2_start, w.s2_end)
 
 
+def test_tape_band_escape_retry(monkeypatch):
+    """Fault injection: when the on-device traceback reports a corrupt
+    walk (records_to_cigar -> None), the per-task retry through the
+    moves-fetch path must still produce correct alignments."""
+    import unicycler_tpu.ops.banded as banded_mod
+    import unicycler_tpu.ops.pallas_traceback as ptb
+
+    rng = np.random.default_rng(21)
+    scoring = Scoring(3, -6, -5, -2)
+    tasks = _tasks(rng, [80, 120, 160])
+    want = align_banded(tasks, scoring, config=SEMI_GLOBAL, band=40)
+
+    calls = {'n': 0}
+    real = ptb.records_to_cigar
+
+    def flaky(records, end_i, fi, fj, code, config):
+        calls['n'] += 1
+        if calls['n'] % 2 == 1:       # every other task "escapes"
+            return None
+        return real(records, end_i, fi, fj, code, config)
+
+    # the decoder resolves records_to_cigar at call time from the module
+    monkeypatch.setattr(ptb, 'records_to_cigar', flaky)
+    # retry goes through pallas_banded_batch, which needs interpret on
+    # CPU: route it through the XLA bucketed path instead
+    monkeypatch.setattr(
+        banded_mod, '_align_banded_moves_path',
+        lambda task_list, sc, cf, W, nc: align_banded(
+            task_list, sc, config=cf, band=(W - 1) // 2, need_cigar=nc))
+
+    got = align_banded_tape(tasks, scoring, SEMI_GLOBAL, 128, True,
+                            interpret=True)
+    assert calls['n'] >= 2
+    for g, w in zip(got, want):
+        assert g.score == w.score
+        assert g.cigar == w.cigar
+
+
 def test_tape_empty_and_degenerate_tasks():
     rng = np.random.default_rng(9)
     scoring = Scoring(3, -6, -5, -2)
