@@ -237,7 +237,10 @@ def pallas_banded_batch(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
     packed_moves is (B, n_pad, W/8) int32 in nibble-plane layout."""
     B, n_pad = q_batch.shape
     assert B % BT == 0, 'batch must be padded to a multiple of %d' % BT
-    T = min(n_pad, 512)
+    # chunk size scales inversely with band width to fit VMEM (same rule
+    # as the tape kernel; wide path-finding bands reach W=2048+)
+    from .pallas_tape import _chunk_rows
+    T = min(n_pad, _chunk_rows(W, 8))
     n_chunks = n_pad // T
 
     c = c_batch.astype(jnp.int32)

@@ -36,6 +36,17 @@ from .tape import SEG_ALIGN
 G = SEG_ALIGN
 
 
+def _chunk_rows(W, minimum):
+    """Rows per grid step: the largest power of two <= 512 keeping the
+    double-buffered (BT, T, W) cellinfo blocks near ~4 MB (wide
+    path-finding bands reach W=2048+). Powers of two always divide the
+    bucketed tape/batch lengths."""
+    t = 512
+    while t > minimum and t * W > (1 << 17):
+        t //= 2
+    return max(t, minimum)
+
+
 def _make_tape_kernel(T, W, scoring: Scoring, config: AlignConfig,
                       need_moves: bool):
     match_s, mismatch = int(scoring.match), int(scoring.mismatch)
@@ -186,9 +197,11 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
     """Run the tape DP. Returns (score, end_i, end_j) each (BT, TT) plus
     (moves (BT, L, W/8), c_rel (BT, L)) for traceback chaining."""
     B, L = q_tape.shape
-    # chunk rows per grid step, scaled down for wide bands so the
-    # double-buffered cellinfo blocks stay within the 16 MB VMEM budget
-    T = min(L, 512 if W <= 256 else 256)
+    # Chunk rows per grid step, scaled inversely with the band width so
+    # the double-buffered cellinfo blocks stay within the 16 MB VMEM
+    # budget (~4 MB per block): callers range from W=128 search bands to
+    # W=2048+ path-finding bands.
+    T = min(L, _chunk_rows(W, G))
     n_chunks = L // T
     n_slots = L // G
 

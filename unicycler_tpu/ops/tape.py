@@ -77,18 +77,21 @@ def build_tapes(tasks, W, build_corridor) -> List[TapeLaunch]:
     order = sorted(range(len(tasks)), key=lambda i: -len(tasks[i].q))
     # segments: consecutive groups of BT sorted tasks
     segments = [order[s:s + BT] for s in range(0, len(order), BT)]
+    # the row cap scales inversely with band width (the cellinfo
+    # intermediate is B x L x W int32 in HBM)
+    l_cap = max(512, L_CAP * 256 // W // 512 * 512)
 
     launches = []
     seg_pos = 0
     while seg_pos < len(segments):
-        # take segments until the tape would exceed L_CAP rows
+        # take segments until the tape would exceed the row cap
         chunk = []
         L = 0
         while seg_pos < len(segments):
             seg = segments[seg_pos]
             seg_len = -(-max(len(tasks[i].q) for i in seg) // SEG_ALIGN) \
                 * SEG_ALIGN
-            if chunk and L + seg_len > L_CAP:
+            if chunk and L + seg_len > l_cap:
                 break
             chunk.append((seg, seg_len))
             L += seg_len
