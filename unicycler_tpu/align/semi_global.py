@@ -215,7 +215,7 @@ def align_reads_to_refs(reads, references, scoring_scheme,
         k = settings.SEED_KMER_SIZES[level]
         band = settings.BAND_SIZES[level]
         with trace.span('seed_index'):
-            index = mz.MinimizerIndex(ref_codes, k=k, w=10)
+            index = mz.get_cached_index(ref_codes, k, 10)
         tasks: List[_Task] = []
         with trace.span('seed_and_tasks'):
             for read in reads:

@@ -143,6 +143,27 @@ class SeedHitCluster(NamedTuple):
     anchors_ref: np.ndarray    # int32 anchor positions (ref)
 
 
+_INDEX_CACHE = {}
+
+
+def get_cached_index(ref_codes_list, k, w):
+    """A MinimizerIndex for these reference code arrays, memoised by
+    array identity: the pipeline aligns against the same reference set
+    repeatedly (per sensitivity level, per bridging stage), and the
+    index build is a non-trivial host cost."""
+    key = (tuple(id(c) for c in ref_codes_list), k, w)
+    hit = _INDEX_CACHE.get(key)
+    if hit is None:
+        idx = MinimizerIndex(ref_codes_list, k=k, w=w)
+        if len(_INDEX_CACHE) > 8:
+            _INDEX_CACHE.clear()
+        # the cached entry PINS the code arrays so their ids cannot be
+        # recycled to a different array while the entry lives
+        _INDEX_CACHE[key] = (idx, list(ref_codes_list))
+        return idx
+    return hit[0]
+
+
 class MinimizerIndex(object):
     """Sorted-array minimiser index over a set of reference sequences."""
 
