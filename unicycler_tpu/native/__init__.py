@@ -4,6 +4,7 @@ ref unicycler/cpp_wrappers.py:23-28 — here it hosts the serial traceback
 walks that sit between device kernels and Python)."""
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -14,29 +15,45 @@ _BUILD_FAILED = False
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_SRC_DIR, 'libunicycler_tpu_native.so')
+_HASH_PATH = os.path.join(_SRC_DIR, '.build_hash')
 _SOURCES = ['cigar_decode.cpp', 'lis.cpp']
 
 
-def _build():
+def _source_hash():
+    h = hashlib.sha256()
+    for s in _SOURCES:
+        with open(os.path.join(_SRC_DIR, s), 'rb') as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _build(src_hash):
     cmd = (['g++', '-O3', '-std=c++17', '-fPIC', '-shared', '-o', _SO_PATH]
            + [os.path.join(_SRC_DIR, s) for s in _SOURCES])
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_HASH_PATH, 'w') as f:
+        f.write(src_hash)
 
 
 def get_lib():
-    """The native library, building it on first use. Returns None if no
-    toolchain is available (callers fall back to Python decoders)."""
+    """The native library, built lazily from the checked-in sources.
+    Staleness is decided by a content hash of the sources (mtimes are not
+    preserved by git, so a fresh clone could otherwise load a stale or
+    wrong-platform binary). Returns None if no toolchain is available
+    (callers fall back to Python decoders)."""
     global _LIB, _BUILD_FAILED
     if _LIB is not None:
         return _LIB
     if _BUILD_FAILED:
         return None
     try:
-        needs_build = not os.path.exists(_SO_PATH) or any(
-            os.path.getmtime(os.path.join(_SRC_DIR, s))
-            > os.path.getmtime(_SO_PATH) for s in _SOURCES)
-        if needs_build:
-            _build()
+        src_hash = _source_hash()
+        built_hash = None
+        if os.path.exists(_SO_PATH) and os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                built_hash = f.read().strip()
+        if built_hash != src_hash:
+            _build(src_hash)
         lib = ctypes.CDLL(_SO_PATH)
     except (OSError, subprocess.CalledProcessError):
         _BUILD_FAILED = True
@@ -61,6 +78,12 @@ def get_lib():
 
 _OP_NAMES = {0: 'M', 1: 'I', 2: 'D'}
 
+# Sentinel returned when a traceback walk leaves the band (corrupt path).
+# Callers emit a zero-score degenerate alignment rather than keeping the
+# forward score with an empty CIGAR (which would rank candidates on no
+# path evidence).
+BAND_ESCAPE = ('BAND_ESCAPE',)
+
 
 def native_decode_banded(moves, c, end_i, end_j, free_start_s1,
                          free_start_s2):
@@ -74,7 +97,10 @@ def native_decode_banded(moves, c, end_i, end_j, free_start_s1,
     c = np.ascontiguousarray(c, dtype=np.int32)
     n_rows, w8 = moves.shape
     W = w8 * 8
-    max_ops = n_rows + 16
+    # A banded CIGAR can hold up to ~2 runs per row (an M/I entry plus a
+    # D run), so size for that; undersizing silently sent every
+    # high-indel alignment through the slow Python fallback (-2 path).
+    max_ops = 2 * n_rows + 16
     out = np.empty(2 * max_ops, np.int32)
     si = ctypes.c_int32()
     sj = ctypes.c_int32()
@@ -83,9 +109,10 @@ def native_decode_banded(moves, c, end_i, end_j, free_start_s1,
         int(free_start_s1), int(free_start_s2),
         out.ctypes.data, max_ops, ctypes.byref(si), ctypes.byref(sj))
     if n == -1:
-        # Walk left the band (corrupt path) — same result as the Python
-        # decoder's defensive bail-out.
-        return ([], 0, 0)
+        # Walk left the band (corrupt path) — signal band escape so the
+        # caller emits a zero-score degenerate result, matching the tape
+        # path's retry semantics.
+        return BAND_ESCAPE
     if n < 0:
         return None
     cigar = [(int(out[2 * k]), _OP_NAMES[int(out[2 * k + 1])])

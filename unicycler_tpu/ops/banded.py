@@ -197,7 +197,7 @@ def decode_banded_traceback(moves: np.ndarray, c: np.ndarray, end_i: int,
     (n_rows, W/2) bytes). Lane of (i, j) is j - c[i]; moves row index is
     i-1 (rows 1..n). Uses the native decoder when available (the serial
     walk is the driver's hot host loop)."""
-    from ..native import native_decode_banded
+    from ..native import native_decode_banded, BAND_ESCAPE
     result = native_decode_banded(moves, c, end_i, end_j,
                                   config.free_start_s1, config.free_start_s2)
     if result is not None:
@@ -223,9 +223,7 @@ def decode_banded_traceback(moves: np.ndarray, c: np.ndarray, end_i: int,
         # Defensive: a traceback that leaves the band indicates a corrupted
         # (NEG-valued) path; bail out rather than walk garbage bits.
         if i > 0 and not (0 <= j - c[i] < W):
-            ops.clear()
-            i = j = 0
-            break
+            return BAND_ESCAPE
         if state == 'H':
             if i == 0:
                 if config.free_start_s2 or j == 0:
@@ -545,16 +543,23 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                           tp.r_base, tp.seg_start, tp.reset_slot,
                           tp.cap_slot, tp.last_slot))
         main_in = (put(tp.q_tape), put(tp.flags), put(tp.r_flat))
+        # A row record is (d_count << 3) | move_bits with d_count <= W,
+        # so it fits 16 bits only when W <= 8191. Within that bound two
+        # rows pack per int32 word — halves the dominant fetch over the
+        # ~35 MB/s tunnel; wider bands (path-finding consensus vs long
+        # candidate paths) fetch records unpacked to avoid silent
+        # modulo-2^16 corruption of long deletion runs.
+        pack = W <= 8191
         if need_cigar:
             score, end_i, end_j, records, fin = tape_with_traceback(
                 *main_in, *per_task, put(tp.n_tasks),
                 scoring=scoring, config=config, W=W, interpret=interpret)
-            # Row records are < 2^13 ((d_count << 3) | move_bits with
-            # d_count <= W), so two rows pack per int32 word — halves
-            # the dominant fetch over the ~35 MB/s tunnel.
-            lr = (tp.L_real + 1) // 2 * 2
-            r2 = records[:, :lr]
-            packed = (r2[:, 0::2] & 0xFFFF) | (r2[:, 1::2] << 16)
+            if pack:
+                lr = (tp.L_real + 1) // 2 * 2
+                r2 = records[:, :lr]
+                packed = (r2[:, 0::2] & 0xFFFF) | (r2[:, 1::2] << 16)
+            else:
+                packed = records[:, :tp.L_real]
             dev = [score, end_i, end_j, packed, jnp.ravel(fin)]
         else:
             score, end_i, end_j, _, _ = tape_forward(
@@ -562,7 +567,7 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                 scoring=scoring, config=config, W=W, need_moves=False,
                 interpret=interpret)
             dev = [score, end_i, end_j]
-        pending.append((tp, dev))
+        pending.append((tp, dev, pack))
     return pending
 
 
@@ -571,7 +576,7 @@ def _tape_collect(pending):
     per-launch host arrays."""
     from ..utils import trace
     flat_parts, shapes = [], []
-    for _, dev in pending:
+    for _, dev, _ in pending:
         for a in dev:
             flat_parts.append(jnp.ravel(a).astype(jnp.int32))
             shapes.append(a.shape)
@@ -585,7 +590,7 @@ def _tape_collect(pending):
         host_parts.append(all_flat[offset:offset + size].reshape(shape))
         offset += size
     grouped, pi = [], 0
-    for _, dev in pending:
+    for _, dev, _ in pending:
         grouped.append(host_parts[pi:pi + len(dev)])
         pi += len(dev)
     return grouped
@@ -660,14 +665,17 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config):
     indices needing the band-escape retry path."""
     from .pallas_traceback import records_to_cigar
     retry = []
-    for (tp, dev), parts in zip(pending, grouped):
+    for (tp, dev, pack), parts in zip(pending, grouped):
         score, end_i, end_j = parts[0], parts[1], parts[2]
         if need_cigar:
             packed = parts[3]
-            records = np.empty((packed.shape[0], 2 * packed.shape[1]),
-                               np.int32)
-            records[:, 0::2] = packed & 0xFFFF
-            records[:, 1::2] = (packed >> 16) & 0xFFFF
+            if pack:
+                records = np.empty((packed.shape[0], 2 * packed.shape[1]),
+                                   np.int32)
+                records[:, 0::2] = packed & 0xFFFF
+                records[:, 1::2] = (packed >> 16) & 0xFFFF
+            else:
+                records = packed
             fin = parts[4].reshape(8, tp.TT, 3)
         else:
             records = fin = None
@@ -786,8 +794,20 @@ def _emit_results(results, idxs, score, end_i, end_j, moves, cb,
                                        s2_len=int(m_acts[bi]))
             continue
         if need_cigar:
-            cigar, si, sj = decode_banded_traceback(
+            from ..native import BAND_ESCAPE
+            decoded = decode_banded_traceback(
                 moves[bi], cb[bi], end_i[bi], end_j[bi], config)
+            if decoded is BAND_ESCAPE:
+                # No usable path within the band: report a zero-score
+                # degenerate alignment (keeping the forward score with an
+                # empty CIGAR would pass 'score == 0 and not cigar'
+                # guards and rank candidates on no path evidence).
+                results[i] = PairAlignment(score=0, s1_start=0, s1_end=0,
+                                           s2_start=0, s2_end=0, cigar=[],
+                                           s1_len=int(n_acts[bi]),
+                                           s2_len=int(m_acts[bi]))
+                continue
+            cigar, si, sj = decoded
         else:
             cigar, si, sj = [], 0, 0
         results[i] = PairAlignment(
