@@ -16,6 +16,8 @@ import numpy as np
 
 from ..misc import float_to_str, reverse_complement
 
+_OP_CHARS = np.array(['M', 'I', 'D'])
+
 
 class Alignment(object):
 
@@ -31,6 +33,7 @@ class Alignment(object):
         self.ref_start_pos = None
         self.ref_end_pos = None
         self.rev_comp = rev_comp
+        self._runs = None
         self.cigar_parts = None
         self.match_count = 0
         self.mismatch_count = 0
@@ -53,18 +56,40 @@ class Alignment(object):
 
     def _setup_from_pair(self, pa, ref_offset):
         """From a device PairAlignment (s1 = read in aligned orientation,
-        s2 = trimmed ref window starting at ref_offset)."""
+        s2 = trimmed ref window starting at ref_offset). The CIGAR is kept
+        as numpy run arrays; the string parts list materialises lazily
+        (only alignments that reach the SAM writer need it)."""
         self.read_start_pos = pa.s1_start
         self.read_end_pos = pa.s1_end
         self.read_end_gap = self.read.get_length() - self.read_end_pos
         self.ref_start_pos = pa.s2_start + ref_offset
         self.ref_end_pos = pa.s2_end + ref_offset
-        self.cigar_parts = []
-        if pa.s1_start > 0:
-            self.cigar_parts.append(str(pa.s1_start) + 'S')
-        self.cigar_parts.extend(str(c) + op for c, op in pa.cigar)
-        if self.read_end_gap > 0:
-            self.cigar_parts.append(str(self.read_end_gap) + 'S')
+        cigar = pa.cigar
+        if hasattr(cigar, 'op_codes'):
+            self._runs = (cigar.counts, cigar.op_codes)
+        else:
+            counts = np.array([c for c, _ in cigar], np.int64)
+            codes = np.array([{'M': 0, 'I': 1, 'D': 2}[op]
+                              for _, op in cigar], np.int8)
+            self._runs = (counts, codes)
+
+    @property
+    def cigar_parts(self):
+        if self._cigar_parts is None and self._runs is not None:
+            counts, op_codes = self._runs
+            parts = []
+            if self.read_start_pos:
+                parts.append(str(self.read_start_pos) + 'S')
+            parts.extend(np.char.add(counts.astype('U'),
+                                     _OP_CHARS[op_codes]).tolist())
+            if self.read_end_gap:
+                parts.append(str(self.read_end_gap) + 'S')
+            self._cigar_parts = parts
+        return self._cigar_parts
+
+    @cigar_parts.setter
+    def cigar_parts(self, value):
+        self._cigar_parts = value
 
     def _setup_from_sam(self, sam_line, read_dict, reference_dict):
         from ..misc import get_nice_header
@@ -95,6 +120,10 @@ class Alignment(object):
         self.deletion_count = 0
         self.percent_identity = 0.0
         self.raw_score = 0
+
+        if self._runs is not None:
+            self._tally_up_runs(scoring_scheme)
+            return
 
         cigar_parts = list(self.cigar_parts)
         if cigar_parts and cigar_parts[0][-1] == 'S':
@@ -148,6 +177,53 @@ class Alignment(object):
         worst = scoring_scheme.mismatch * align_i
         self.scaled_score = 100.0 * (self.raw_score - worst) / (perfect - worst)
 
+    def _tally_up_runs(self, scoring_scheme):
+        """Fully-vectorised tally over numpy CIGAR run arrays (the hot
+        path: alignments decoded from device records)."""
+        counts, op_codes = self._runs
+        if len(counts) == 0:
+            return
+        read_codes = self.read.codes
+        if self.rev_comp:
+            from ..ops.encode import revcomp_codes
+            read_codes = revcomp_codes(read_codes)
+        ref_codes = self.ref.codes
+        ins = op_codes == 1
+        dele = op_codes == 2
+        m = op_codes == 0
+        self.insertion_count = int(counts[ins].sum())
+        self.deletion_count = int(counts[dele].sum())
+        n_gap_runs = int(np.count_nonzero(ins) + np.count_nonzero(dele))
+        gap_total = self.insertion_count + self.deletion_count
+        raw = (n_gap_runs * scoring_scheme.gap_open
+               + (gap_total - n_gap_runs) * scoring_scheme.gap_extend)
+        adv_read = np.where(dele, 0, counts)
+        adv_ref = np.where(ins, 0, counts)
+        r0 = self.read_start_pos + np.cumsum(adv_read) - adv_read
+        f0 = self.ref_start_pos + np.cumsum(adv_ref) - adv_ref
+        rm, fm, cm = r0[m], f0[m], counts[m]
+        n_eff = np.minimum(cm, np.minimum(len(read_codes) - rm,
+                                          len(ref_codes) - fm))
+        n_eff = np.maximum(n_eff, 0)
+        from ..ops.minimizer import _expand_ranges
+        idx = _expand_ranges(rm, n_eff)
+        jdx = _expand_ranges(fm, n_eff)
+        eq = int(np.count_nonzero(read_codes[idx] == ref_codes[jdx]))
+        tot = int(n_eff.sum())
+        self.match_count = eq
+        self.mismatch_count = tot - eq
+        raw += (eq * scoring_scheme.match
+                + (tot - eq) * scoring_scheme.mismatch)
+        self.raw_score = int(raw)
+        align_i = int(counts.sum())
+        self.percent_identity = 100.0 * self.match_count / align_i
+        self.edit_distance = (self.mismatch_count + self.insertion_count
+                              + self.deletion_count)
+        self.alignment_length = align_i
+        perfect = scoring_scheme.match * align_i
+        worst = scoring_scheme.mismatch * align_i
+        self.scaled_score = 100.0 * (self.raw_score - worst) / (perfect - worst)
+
     # -- accessors (parity with ref alignment.py:218-368) ------------------
 
     def __repr__(self):
@@ -190,11 +266,15 @@ class Alignment(object):
         return self.read_end_pos
 
     def get_start_soft_clips(self):
+        if self._runs is not None:
+            return self.read_start_pos or 0
         if self.cigar_parts and self.cigar_parts[0][-1] == 'S':
             return int(self.cigar_parts[0][:-1])
         return 0
 
     def get_end_soft_clips(self):
+        if self._runs is not None:
+            return self.read_end_gap or 0
         if self.cigar_parts and self.cigar_parts[-1][-1] == 'S':
             return int(self.cigar_parts[-1][:-1])
         return 0

@@ -279,12 +279,17 @@ def align_reads_to_refs(reads, references, scoring_scheme,
     for read in reads:
         read.remove_conflicting_alignments(allowed_overlap)
 
-    # Iterative corridor refinement, applied only to the surviving
-    # alignments: re-center the band on each found path and realign,
-    # keeping the better result. This recovers score where the optimal
-    # path hugged the band edge (the analog of the reference's repeated
-    # line tracing, semi_global_align.cpp:229) at a fraction of the cost
-    # of refining every candidate.
+    # Corridor refinement, applied only to surviving alignments whose
+    # traced path came within REFINE_MARGIN lanes of the band edge:
+    # re-center the band on the found path and realign, keeping the
+    # better result (the analog of the reference's repeated line tracing,
+    # semi_global_align.cpp:229). Paths well inside the corridor cannot
+    # improve from re-centering at the same width — the first pass
+    # already runs at the full refine-grade band — so the refine pass is
+    # empty for most calls (one fewer dispatch/fetch round trip).
+    band = settings.BAND_SIZES[min(sensitivity_level,
+                                   len(settings.BAND_SIZES) - 1)]
+    pass_W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
     refine_alignments = []
     for read in reads:
         for alignment in read.alignments:
@@ -294,6 +299,10 @@ def align_reads_to_refs(reads, references, scoring_scheme,
             if len(pa.cigar) == 1 and pa.cigar[0][1] == 'M' and \
                     alignment.mismatch_count == 0:
                 continue            # already perfect
+            task = alignment._task
+            if banded_ops.path_band_margin(pa, task.banded, pass_W) \
+                    >= settings.REFINE_MARGIN:
+                continue            # path never approached the band edge
             refine_alignments.append(alignment)
     if refine_alignments:
         refine_tasks = []

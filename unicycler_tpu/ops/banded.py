@@ -294,6 +294,70 @@ def build_corridor(anchors_read: np.ndarray, anchors_ref: np.ndarray,
     return c.astype(np.int32)
 
 
+def path_band_margin(pa: 'PairAlignment', task: 'BandedTask', W: int) -> int:
+    """Minimum distance (in band lanes) of an alignment's traced path from
+    either edge of the band corridor the task was aligned in. A path with
+    a comfortable margin cannot improve from re-centering the corridor at
+    the same width, so drivers use this to skip the refinement pass.
+
+    Vectorised over CIGAR runs: lane(i, j) = j - c[i]; per-run lane
+    extrema come from np.minimum/maximum.reduceat over g(i) = i - c[i]
+    (M runs, where j - i is constant) and over c (I runs, where j is
+    constant); D-run extrema are the run's vertex lanes, covered by
+    evaluating both run endpoints."""
+    if not pa.cigar:
+        return 0
+    c = build_corridor(task.corridor_read, task.corridor_ref,
+                       len(task.q), len(task.r), W).astype(np.int64)
+    n1 = len(c)
+    if hasattr(pa.cigar, 'op_codes'):
+        counts = pa.cigar.counts
+        codes = pa.cigar.op_codes
+    else:
+        counts = np.array([cnt for cnt, _ in pa.cigar], np.int64)
+        codes = np.array([{'M': 0, 'I': 1, 'D': 2}[op]
+                          for _, op in pa.cigar], np.int8)
+    di = np.where(codes == 2, 0, counts)
+    dj = np.where(codes == 1, 0, counts)
+    i0 = pa.s1_start + np.concatenate([[0], np.cumsum(di)[:-1]])
+    j0 = pa.s2_start + np.concatenate([[0], np.cumsum(dj)[:-1]])
+    i1 = i0 + di
+    j1 = j0 + dj
+    # vertex lanes (covers D runs and all run endpoints)
+    iv = np.clip(np.concatenate([i0, i1]), 0, n1 - 1)
+    jv = np.concatenate([j0, j1])
+    lanes_lo = (jv - c[iv]).min()
+    lanes_hi = (jv - c[iv]).max()
+    # M-run interiors: lane(i) = (j0 - i0) + g(i), g = i - c[i]
+    m_mask = (codes == 0) & (counts > 1)
+    if m_mask.any():
+        starts = np.clip(i0[m_mask], 0, n1 - 1)
+        ends = np.clip(i1[m_mask], 0, n1 - 1)
+        g = np.arange(n1, dtype=np.int64) - c
+        # reduceat over [start, end) ranges interleaved with gap segments
+        bounds = np.empty(2 * len(starts), np.int64)
+        bounds[0::2] = starts
+        bounds[1::2] = np.maximum(ends, starts + 1)
+        gmin = np.minimum.reduceat(g, bounds)[0::2]
+        gmax = np.maximum.reduceat(g, bounds)[0::2]
+        off = j0[m_mask] - i0[m_mask]
+        lanes_lo = min(lanes_lo, (off + gmin).min())
+        lanes_hi = max(lanes_hi, (off + gmax).max())
+    # I-run interiors: lane(i) = j0 - c[i]
+    i_mask = (codes == 1) & (counts > 1)
+    if i_mask.any():
+        starts = np.clip(i0[i_mask], 0, n1 - 1)
+        ends = np.clip(i1[i_mask], 0, n1 - 1)
+        bounds = np.empty(2 * len(starts), np.int64)
+        bounds[0::2] = starts
+        bounds[1::2] = np.maximum(ends, starts + 1)
+        cmin = np.minimum.reduceat(c, bounds)[0::2]
+        cmax = np.maximum.reduceat(c, bounds)[0::2]
+        lanes_lo = min(lanes_lo, (j0[i_mask] - cmax).min())
+        lanes_hi = max(lanes_hi, (j0[i_mask] - cmin).max())
+    return int(min(lanes_lo, (W - 1) - lanes_hi))
+
+
 def alignment_path_anchors(pa: 'PairAlignment', step: int = 64):
     """Sample (s1_pos, s2_pos) anchors along an alignment's CIGAR path, for
     re-centering the band corridor on the found path (iterative corridor

@@ -214,6 +214,53 @@ def align_batch_device(q_batch, q_lens, r_batch, r_lens,
 # Host-side traceback decode
 # ---------------------------------------------------------------------------
 
+_OP_CHARS = np.array(['M', 'I', 'D'])
+
+
+class RunCigar(object):
+    """A CIGAR held as numpy run arrays, duck-compatible with the
+    [(count, op)] tuple-list representation used across the package.
+    Avoids materialising tens of thousands of Python tuples per
+    alignment on the hot decode path; consumers that iterate see
+    identical (int, str) pairs, and numpy-aware consumers read
+    .counts / .op_codes directly (0=M, 1=I, 2=D)."""
+    __slots__ = ('counts', 'op_codes', '_tuples')
+
+    def __init__(self, counts, op_codes):
+        self.counts = np.asarray(counts, np.int64)
+        self.op_codes = np.asarray(op_codes, np.int8)
+        self._tuples = None
+
+    def _as_tuples(self):
+        if self._tuples is None:
+            ops = _OP_CHARS[self.op_codes]
+            self._tuples = list(zip(self.counts.tolist(), ops.tolist()))
+        return self._tuples
+
+    def __len__(self):
+        return len(self.counts)
+
+    def __bool__(self):
+        return len(self.counts) > 0
+
+    def __iter__(self):
+        return iter(self._as_tuples())
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return self._as_tuples()[idx]
+        return (int(self.counts[idx]), str(_OP_CHARS[self.op_codes[idx]]))
+
+    def __eq__(self, other):
+        if isinstance(other, RunCigar):
+            return (np.array_equal(self.counts, other.counts)
+                    and np.array_equal(self.op_codes, other.op_codes))
+        return self._as_tuples() == other
+
+    def __repr__(self):
+        return 'RunCigar(%r)' % (self._as_tuples(),)
+
+
 class PairAlignment(NamedTuple):
     """Result of one pairwise alignment in local (s1, s2) coordinates."""
     score: int

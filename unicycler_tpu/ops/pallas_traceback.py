@@ -192,20 +192,23 @@ def records_to_cigar(records, end_i, final_i, final_j, stop_code,
     if stop_code == 2:
         return None                       # band escape: caller falls back
 
-    prefix = []
+    prefix_counts = []
+    prefix_types = []
     if stop_code == 0 and final_i == 0:
         # walked to row 0
         if config.free_start_s2 or final_j == 0:
             start_i, start_j = 0, final_j
         else:
-            prefix.append((final_j, 'D'))
+            prefix_counts.append(final_j)
+            prefix_types.append(2)
             start_i, start_j = 0, 0
     elif stop_code == 1:
         # stopped at column 0 in H state
         if config.free_start_s1:
             start_i, start_j = final_i, 0
         else:
-            prefix.append((final_i, 'I'))
+            prefix_counts.append(final_i)
+            prefix_types.append(1)
             start_i, start_j = 0, 0
     else:
         start_i, start_j = final_i, final_j
@@ -213,7 +216,8 @@ def records_to_cigar(records, end_i, final_i, final_j, stop_code,
     if final_i >= 1:
         d_stop = int(records[final_i - 1]) >> 3
         if d_stop:
-            prefix.append((d_stop, 'D'))
+            prefix_counts.append(d_stop)
+            prefix_types.append(2)
 
     first_row = final_i + 1               # rows visited: first_row..end_i
     if first_row > end_i:
@@ -225,16 +229,19 @@ def records_to_cigar(records, end_i, final_i, final_j, stop_code,
     d_counts = rows >> 3
     # interleave per row: move op then D run
     n = len(rows)
-    op_types = np.empty(2 * n, np.int8)       # 0 M, 1 I, 2 D
-    op_counts = np.empty(2 * n, np.int64)
-    op_types[0::2] = np.where(moves == 1, 0, 1)
-    op_counts[0::2] = 1
-    op_types[1::2] = 2
-    op_counts[1::2] = d_counts
+    op_types = np.empty(2 * n + len(prefix_types), np.int8)  # 0 M, 1 I, 2 D
+    op_counts = np.empty(2 * n + len(prefix_types), np.int64)
+    np_ = len(prefix_types)
+    op_types[:np_] = prefix_types
+    op_counts[:np_] = prefix_counts
+    op_types[np_::2] = np.where(moves == 1, 0, 1)
+    op_counts[np_::2] = 1
+    op_types[np_ + 1::2] = 2
+    op_counts[np_ + 1::2] = d_counts
     keep = op_counts > 0
     # drop move slots for rows with no move bits (shouldn't happen on a
     # valid path, but row records of value 0 would otherwise emit junk)
-    keep[0::2] &= moves != 0
+    keep[np_::2] &= moves != 0
     op_types = op_types[keep]
     op_counts = op_counts[keep]
     if len(op_types):
@@ -242,17 +249,8 @@ def records_to_cigar(records, end_i, final_i, final_j, stop_code,
             [[True], op_types[1:] != op_types[:-1]]))[0]
         merged_counts = np.add.reduceat(op_counts, boundaries)
         merged_types = op_types[boundaries]
-        body = [(int(c), {0: 'M', 1: 'I', 2: 'D'}[int(t)])
-                for c, t in zip(merged_counts, merged_types)]
     else:
-        body = []
-
-    cigar = prefix + body
-    # merge prefix/body boundary if same op
-    merged = []
-    for count, op in cigar:
-        if merged and merged[-1][1] == op:
-            merged[-1] = (merged[-1][0] + count, op)
-        else:
-            merged.append((count, op))
-    return merged, start_i, start_j
+        merged_counts = np.zeros(0, np.int64)
+        merged_types = np.zeros(0, np.int8)
+    from .pairwise import RunCigar
+    return RunCigar(merged_counts, merged_types), start_i, start_j

@@ -24,13 +24,19 @@ SEED_KMER_SIZES = (15, 14, 13, 12)        # minimiser k per sensitivity level
 ALIGN_KMER_SIZES = (10, 10, 9, 8)         # fine k-mer size per level
 # Banded-DP half-band per level. The reference uses 25/50/75/100
 # (settings.h:22-25); the TPU kernel's band is padded to 128-lane multiples
-# anyway, so wider bands are nearly free and buy alignment quality.
-BAND_SIZES = (100, 150, 200, 250)
-# Band for the survivor-only corridor-refinement pass. Wider than the
-# search bands: refinement re-centers on the found path, and the extra
-# reach recovers score where the optimal path hugged the band edge
-# (tough_0: 125801 @ 100 -> 126525 @ 200, past the reference's 126074).
+# anyway, so wider bands are nearly free and buy alignment quality. The
+# first pass runs at the full (refine-grade) width directly: measured on
+# the tough fixture, the old narrow-pass+refine-everything flow gained
+# its score almost entirely from the refine pass's wider band, so one
+# wide pass + margin-triggered refinement gives the same scores with one
+# fewer dispatch/fetch round trip per call.
+BAND_SIZES = (200, 250, 300, 350)
+# Band for the corridor-refinement pass (re-center on the found path).
+# Refinement now only runs for alignments whose traced path came within
+# REFINE_MARGIN lanes of the band edge — paths well inside the corridor
+# cannot improve from re-centering at the same width.
 REFINE_BAND = 200
+REFINE_MARGIN = 64
 FINE_ANCHOR_MAX_DIST = 300                # corridor collection distance
 FINE_ANCHOR_MAX_OCC = 256                 # per-kmer occurrence cap
 MIN_LINE_TRACE_COUNTS = (2, 2, 3, 4)      # candidate corridors always tried
