@@ -740,7 +740,8 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config):
                 records[:, 1::2] = (packed >> 16) & 0xFFFF
             else:
                 records = packed
-            fin = parts[4].reshape(8, tp.TT, 3)
+            from .tape import BT as _BT
+            fin = parts[4].reshape(_BT, tp.TT, 3)
         else:
             records = fin = None
         for tr in range(tp.task_ids.shape[0]):

@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pairwise import NEG, AlignConfig, Scoring
 
-BT = 8           # batch tile (sublane dimension)
+BT = 32          # batch tile / tape track count (sublane dimension).
+# 32 tracks = 4 int32 sublane tiles: per-row vector ops grow 4x wider
+# (still VPU-shaped) while the tape's SERIAL row loop shrinks 4x — the
+# kernel is per-step-overhead-bound, so wall time tracks step count.
 MAX_SHIFT = 4    # max per-row band drift (corridors are smoothed to this)
 
 
@@ -87,6 +90,31 @@ def pack_moves_rows(moves4):
     for g in range(1, 8):
         packed = packed | (moves4[..., g * w8:(g + 1) * w8] << (4 * g))
     return packed
+
+
+def pack_moves_rows_kernel(moves4):
+    """pack_moves_rows for use INSIDE a Mosaic kernel. Mosaic miscompiles
+    strided lane slices whose offset is >= 192 lanes on 3-register
+    (384-lane) vectors — the slice silently reads zeros — so the nibble
+    planes are gathered with verified lane rolls and a single offset-0
+    prefix slice instead."""
+    W = moves4.shape[-1]
+    w8 = W // 8
+    acc = moves4
+    for g in range(1, 8):
+        acc = acc | (pltpu.roll(moves4, W - g * w8, 1) << (4 * g))
+    return acc[..., :w8]
+
+
+def _chunk_rows_bucketed(W, minimum=8):
+    """Rows per grid step for the bucketed kernel: largest power of two
+    <= 512 keeping the double-buffered (BT, T, W) int32 cellinfo block
+    plus the (BT, T, W/8) moves block within ~8 MB of VMEM."""
+    per_row = BT * W * 4 * 2 + BT * (W // 8) * 4
+    t = 512
+    while t > minimum and t * per_row > (1 << 23):
+        t //= 2
+    return max(t, minimum)
 
 
 def _make_kernel(T, W, scoring: Scoring, config: AlignConfig,
@@ -162,7 +190,7 @@ def _make_kernel(T, W, scoring: Scoring, config: AlignConfig,
                 hsrc = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
                 moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
                           | jnp.where(f_ext_bit, 8, 0))
-                packed = pack_moves_rows(moves4)
+                packed = pack_moves_rows_kernel(moves4)
                 moves_ref[:, pl.ds(t, 1), :] = packed[:, None, :]
 
             # running best last-column candidate (strict > keeps first max,
@@ -237,10 +265,7 @@ def pallas_banded_batch(q_batch, r_ext_batch, c_batch, n_acts, m_acts,
     packed_moves is (B, n_pad, W/8) int32 in nibble-plane layout."""
     B, n_pad = q_batch.shape
     assert B % BT == 0, 'batch must be padded to a multiple of %d' % BT
-    # chunk size scales inversely with band width to fit VMEM (same rule
-    # as the tape kernel; wide path-finding bands reach W=2048+)
-    from .pallas_tape import _chunk_rows
-    T = min(n_pad, _chunk_rows(W, 8))
+    T = min(n_pad, _chunk_rows_bucketed(W))
     n_chunks = n_pad // T
 
     c = c_batch.astype(jnp.int32)

@@ -1,23 +1,42 @@
 """Mega-batched banded DP on a task TAPE (one launch per workload).
 
-Companion to ops/tape.py (host layout). Differences from the bucketed
-kernel (ops/pallas_banded.py):
+Companion to ops/tape.py (host layout). The tape lays every task of an
+align_banded call on BT sublane tracks of back-to-back task segments;
+one launch advances all BT tracks one DP row per step, so wall time
+tracks the tape's SERIAL length (total rows / BT), not task count.
 
-  * grid is 1-D over row chunks; the 8 sublanes are tape TRACKS, each a
-    back-to-back sequence of task segments. A RESET row (cellinfo bit 8)
-    swaps the DP carry for the new task's row-0 boundary — branch-free,
-    via a vector select against an h0 tape indexed by 32-row slot.
-  * per-task outputs are written SLOT-WISE: every row stores the capture
-    scratch (H at the task's last row) and the running best-lastcol to
-    its row's 32-slot; the host/end-selection reads each task's known
-    capture/last slot. No dynamic per-task indexing in the kernel at all.
-  * the traceback kernel walks ALL of a track's tasks in one pass
+v2 kernel design — REGION lane space:
+
+  * Rows are processed in G-row GROUPS (G = SEG_ALIGN). Within a group
+    the kernel works in a fixed "region" coordinate frame: lane k of
+    the (BT, GWp) state vectors corresponds to reference column
+    j = jr + k, where jr is a per-group constant. Because the frame is
+    fixed, the DP needs NO per-row realignment rolls: the vertical
+    predecessor is the carry itself and the diagonal predecessor is one
+    static shift — the per-row band drift (si) becomes a pair of mask
+    bounds [d, d+W) that slide across the region. Carries realign ONCE
+    per group (bit-decomposed rolls by the group's total drift).
+  * All per-row metadata (band offset d, capture flag, query base) is
+    packed into lane r of a per-group (BT, 128) int32 plane; per-group
+    scalars (jr, m_act, local row base, drift, reset, row-1 diagonal
+    boundary) ride the high lanes of the same plane. The kernel builds
+    every mask itself — there is no (rows x W) cellinfo intermediate,
+    which both removes the XLA prolog's HBM traffic and shrinks the
+    kernel's input stream to the (BT, GWp) int8 reference regions.
+  * Results are bit-exact with the bucketed XLA/pallas_banded kernels:
+    the row-0 boundary is masked to the row-0 band [c0, c0+W), the
+    reset row's out-of-region diagonal H(0, c1-1) arrives as a
+    precomputed scalar, and end-selection tie order (corner, then
+    free_end_s2 argmax, then free_end_s1 with row 0 winning ties) is
+    preserved.
+  * The traceback kernel walks ALL of a track's tasks in one pass
     (descending rows), publishing one final-state record per task and
-    one int32 path record per row, exactly like ops/pallas_traceback.
+    one int32 path record per row. Moves are stored in region lane
+    space; the walker converts j -> region lane via the per-row jr
+    sidecar and checks band escape via the per-row c_rel sidecar.
 
-cellinfo bits 0-7 match ops/pallas_banded (match, valid_ef, col0,
-valid_h, si, lastcol); bit 8 = reset, bit 9 = capture, bits 10+ = the
-row's LOCAL (within-task, 1-based) DP row index.
+Replaces the role of SeqAn's bandedChainAlignment driving loop
+(ref src/semi_global_align.cpp:293-311) at batch scale.
 """
 
 import functools
@@ -29,72 +48,144 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pairwise import NEG, AlignConfig, Scoring
-from .pallas_banded import (BT, MAX_SHIFT, _prefix_cummax, _select_shifted,
-                            _shift_right_one, pack_moves_rows)
+from .pallas_banded import (BT, MAX_SHIFT, _prefix_cummax, _shift_right_one,
+                            pack_moves_rows_kernel)
 from .tape import SEG_ALIGN
 
 G = SEG_ALIGN
 
+# SC_GRP plane lane assignments (lanes 0..G-1 hold per-row packed info)
+_L_JR = G + 0        # per-group region base column jr
+_L_M = G + 1         # task m_act (-1 for inactive/pad rows)
+_L_LB = G + 2        # local DP row index of the group's first row
+_L_ADV = G + 3       # carry realignment shift at group entry
+_L_RST = G + 4       # 1 if this group starts with a task reset row
+_L_H0M1 = G + 5      # H(0, c1-1) for the reset row's lane-0 diagonal
+
+
+def _region_width(W):
+    """Region lanes: band width + max in-group drift, lane-padded."""
+    gw = W + G * MAX_SHIFT
+    return (gw + 127) // 128 * 128
+
 
 def _chunk_rows(W, minimum):
     """Rows per grid step: the largest power of two <= 512 keeping the
-    double-buffered (BT, T, W) cellinfo blocks near ~4 MB (wide
-    path-finding bands reach W=2048+). Powers of two always divide the
-    bucketed tape/batch lengths."""
+    per-chunk VMEM blocks (dominated by the (T, BT, GWp/8) moves block
+    and the per-group region/h0/hatn planes) near ~4 MB."""
+    GWp = _region_width(W)
+    per_row = BT * (GWp // 8) * 4 + BT * (9 * GWp + 128 * 8) // G
     t = 512
-    while t > minimum and t * W > (1 << 17):
+    while t > minimum and t * per_row > (1 << 22):
         t //= 2
     return max(t, minimum)
 
 
-def _make_tape_kernel(T, W, scoring: Scoring, config: AlignConfig,
+def _lane_scalar(plane, lane_iota128, idx):
+    """Extract lane `idx` of a (BT, 128) plane as a (BT, 1) vector."""
+    return jnp.sum(jnp.where(lane_iota128 == idx, plane, 0), axis=1,
+                   keepdims=True)
+
+
+def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
                       need_moves: bool):
     match_s, mismatch = int(scoring.match), int(scoring.mismatch)
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
 
-    def kernel(cellinfo_ref, h0_ref, *out_and_scratch):
+    def kernel(sc_ref, reg_ref, h0_ref, *out_and_scratch):
         if need_moves:
             (moves_ref, hatn_ref, best_ref,
-             h_scr, f_scr, bestv_scr, besti_scr, hatn_scr) = out_and_scratch
+             h_scr, f_scr, reg_scr, grp_scr, sca_scr,
+             bestv_scr, besti_scr, hatn_scr) = out_and_scratch
         else:
             (hatn_ref, best_ref,
-             h_scr, f_scr, bestv_scr, besti_scr, hatn_scr) = out_and_scratch
+             h_scr, f_scr, reg_scr, grp_scr, sca_scr,
+             bestv_scr, besti_scr, hatn_scr) = out_and_scratch
             moves_ref = None
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
-        out_lane = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, GWp), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        out_lane = lane128
 
         def row_body(t, _):
-            slot = t // G
-            bits = cellinfo_ref[:, pl.ds(t, 1), :].reshape(BT, W)
-            is_match = (bits & 1) == 1
-            valid_ef = (bits & 2) == 2
-            is_col0 = (bits & 4) == 4
-            valid_h = (bits & 8) == 8
-            si = (bits >> 4) & 7
-            is_lastcol = (bits & 128) == 128
-            is_reset = (bits & 256) == 256
-            is_capture = (bits & 512) == 512
-            local_i = bits >> 10
+            g_local = t // G
+            r_in_g = t - g_local * G
 
-            h0row = h0_ref[:, pl.ds(slot, 1), :].reshape(BT, W)
-            reset_c = jnp.max(is_reset.astype(jnp.int32), axis=1,
-                              keepdims=True) == 1          # (BT, 1)
-            h_prev = jnp.where(is_reset, h0row, h_scr[:, :])
-            f_prev = jnp.where(is_reset, NEG, f_scr[:, :])
-            bv = jnp.where(reset_c, NEG, bestv_scr[:, :])
-            bi = jnp.where(reset_c, 0, besti_scr[:, :])
+            @pl.when(r_in_g == 0)
+            def _group_prologue():
+                grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(BT, 128)
+                grp_scr[:, :] = grp
+                reg_scr[:, :] = reg_ref[pl.ds(g_local, 1), :, :] \
+                    .reshape(BT, GWp).astype(jnp.int32)
+                jr = _lane_scalar(grp, lane128, _L_JR)
+                m_g = _lane_scalar(grp, lane128, _L_M)
+                lb = _lane_scalar(grp, lane128, _L_LB)
+                adv = _lane_scalar(grp, lane128, _L_ADV)
+                rst = _lane_scalar(grp, lane128, _L_RST)
+                h0m1 = _lane_scalar(grp, lane128, _L_H0M1)
+                sca = jnp.where(lane128 == 0, jr,
+                      jnp.where(lane128 == 1, m_g,
+                      jnp.where(lane128 == 2, lb,
+                      jnp.where(lane128 == 3, rst,
+                      jnp.where(lane128 == 4, h0m1, 0)))))
+                sca_scr[:, :] = sca
+                # realign carries to the new region frame (shift left by
+                # adv lanes; wrapped tail lanes -> NEG)
+                h = h_scr[:, :]
+                f = f_scr[:, :]
+                for b in range(8):
+                    s = 1 << b
+                    bit = ((adv >> b) & 1) == 1
+                    h = jnp.where(bit, pltpu.roll(h, (GWp - s) % GWp, 1), h)
+                    f = jnp.where(bit, pltpu.roll(f, (GWp - s) % GWp, 1), f)
+                tail = lane >= (GWp - adv)
+                h = jnp.where(tail, NEG, h)
+                f = jnp.where(tail, NEG, f)
+                # task reset: swap in the row-0 boundary for reset tracks
+                h0g = h0_ref[pl.ds(g_local, 1), :, :].reshape(BT, GWp)
+                rst_b = rst == 1
+                h_scr[:, :] = jnp.where(rst_b, h0g, h)
+                f_scr[:, :] = jnp.where(rst_b, NEG, f)
+                bestv_scr[:, :] = jnp.where(rst_b, NEG, bestv_scr[:, :])
+                besti_scr[:, :] = jnp.where(rst_b, 0, besti_scr[:, :])
 
-            h_up = _select_shifted(h_prev, si, list(range(0, MAX_SHIFT + 1)))
-            f_up = _select_shifted(f_prev, si, list(range(0, MAX_SHIFT + 1)))
-            h_diag = _select_shifted(h_prev, si - 1,
-                                     list(range(-1, MAX_SHIFT)))
+            grp = grp_scr[:, :]
+            sca = sca_scr[:, :]
+            jr = _lane_scalar(sca, lane128, 0)
+            m_g = _lane_scalar(sca, lane128, 1)
+            lb = _lane_scalar(sca, lane128, 2)
+            rst = _lane_scalar(sca, lane128, 3)
+            h0m1 = _lane_scalar(sca, lane128, 4)
 
-            f_open = h_up + open_
-            f_ext_v = f_up + ext
+            rowv = _lane_scalar(grp, lane128, r_in_g)
+            d = rowv & 255
+            is_capture = ((rowv >> 8) & 1) == 1
+            active = ((rowv >> 9) & 1) == 1
+            qv = (rowv >> 16) & 255
+            local_i = lb + r_in_g
+
+            j = jr + lane
+            m_col = jnp.where(active, m_g, -1)
+            vb = (lane >= d) & (lane < d + W)
+            valid_ef = vb & (j >= 1) & (j <= m_col)
+            is_col0 = vb & (j == 0) & (m_col >= 0)
+            valid_h = vb & (j >= 0) & (j <= m_col)
+            is_lastcol = vb & (j == m_col)
+            is_match = reg_scr[:, :] == qv
+
+            h_prev = h_scr[:, :]
+            f_prev = f_scr[:, :]
+
+            f_open = h_prev + open_
+            f_ext_v = f_prev + ext
             f = jnp.maximum(f_open, f_ext_v)
-            f_ext_bit = (f == f_ext_v) & (f_up > NEG // 2)
+            f_ext_bit = (f == f_ext_v) & (f_prev > NEG // 2)
 
             sub = jnp.where(is_match, match_s, mismatch)
+            h_diag = _shift_right_one(h_prev)
+            # the reset row's left-edge diagonal H(0, c1-1) lives one lane
+            # outside the region; splice in the precomputed scalar
+            is_reset_row = (r_in_g == 0) & (rst == 1)
+            h_diag = jnp.where(is_reset_row & (lane == 0), h0m1, h_diag)
             diag = jnp.where(valid_ef, h_diag + sub, NEG)
             if config.free_start_s1:
                 col0_val = jnp.zeros_like(diag)
@@ -119,26 +210,27 @@ def _make_tape_kernel(T, W, scoring: Scoring, config: AlignConfig,
                 hsrc = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
                 moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
                           | jnp.where(f_ext_bit, 8, 0))
-                moves_ref[:, pl.ds(t, 1), :] = \
-                    pack_moves_rows(moves4)[:, None, :]
+                moves_ref[pl.ds(t, 1), :, :] = \
+                    pack_moves_rows_kernel(moves4)[None, :, :]
 
             lc_val = jnp.max(jnp.where(is_lastcol, h, NEG), axis=1,
                              keepdims=True)
+            bv = bestv_scr[:, :]
+            bi = besti_scr[:, :]
             better = lc_val > bv
             bv = jnp.where(better, lc_val, bv)
-            bi = jnp.where(better,
-                           jnp.max(local_i, axis=1, keepdims=True), bi)
+            bi = jnp.where(better, local_i, bi)
             bestv_scr[:, :] = bv
             besti_scr[:, :] = bi
 
             hatn = jnp.where(is_capture, h, hatn_scr[:, :])
             hatn_scr[:, :] = hatn
-            # slot-wise publication: last row of each slot wins, so a
+            # slot-wise publication: last row of each group wins, so a
             # task's capture/last slot holds exactly its captured state
-            hatn_ref[:, pl.ds(slot, 1), :] = hatn[:, None, :]
-            best_ref[:, pl.ds(slot, 1), :] = jnp.where(
+            hatn_ref[pl.ds(g_local, 1), :, :] = hatn[None, :, :]
+            best_ref[pl.ds(g_local, 1), :, :] = jnp.where(
                 out_lane == 0, bv, jnp.where(out_lane == 1, bi, 0)
-            )[:, None, :]
+            )[None, :, :]
 
             h_scr[:, :] = h
             f_scr[:, :] = f
@@ -149,42 +241,15 @@ def _make_tape_kernel(T, W, scoring: Scoring, config: AlignConfig,
     return kernel
 
 
-def _build_windows_flat(r_flat, u_abs, W):
-    """Reference windows from per-track flat arrays: rwin[b, i, k] =
-    r_flat[b, u_abs[b, i] + k], via group dynamic slices + bit rolls
-    (same trick as pallas_banded._build_reference_windows; valid because
-    segments are G-aligned so u_abs drifts <= G*MAX_SHIFT per group)."""
-    B, n_rows = u_abs.shape
-    u0 = u_abs[:, ::G]
-    GW = W + G * MAX_SHIFT
-
-    def slice_one(r_b, start):
-        return jax.lax.dynamic_slice(r_b, (start,), (GW,))
-
-    win = jax.vmap(lambda r_b, starts:
-                   jax.vmap(lambda s: slice_one(r_b, s))(starts))(r_flat, u0)
-    X = jnp.repeat(win, G, axis=1)
-    rel = (u_abs - jnp.repeat(u0, G, axis=1))[:, :, None]
-    shift = 1
-    while shift < GW:
-        if shift <= G * MAX_SHIFT:
-            X = jnp.where((rel & shift) != 0,
-                          jnp.roll(X, -shift, axis=2), X)
-        shift *= 2
-    return X[:, :, :W]
-
-
-def _row0_boundary(c0m, m_t, W, scoring, config):
-    """h0[b, t, k] boundary vector per task, (BT, TT, W) int32."""
+def _boundary_vals(j, m, scoring, config):
+    """H(0, j) boundary values, NEG outside [0, m]."""
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
-    ks = jnp.arange(W, dtype=jnp.int32)
-    j0 = c0m[:, :, None] + ks[None, None, :]
     if config.free_start_s2:
-        h0 = jnp.where(j0 >= 0, 0, NEG)
+        h0 = jnp.where(j >= 0, 0, NEG)
     else:
-        h0 = jnp.where(j0 > 0, open_ + (j0 - 1) * ext,
-                       jnp.where(j0 == 0, 0, NEG))
-    return jnp.where(j0 > m_t[:, :, None], NEG, h0).astype(jnp.int32)
+        h0 = jnp.where(j > 0, open_ + (j - 1) * ext,
+                       jnp.where(j == 0, 0, NEG))
+    return jnp.where(j > m, NEG, h0).astype(jnp.int32)
 
 
 @functools.partial(
@@ -195,15 +260,13 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
                  scoring: Scoring, config: AlignConfig, W: int,
                  need_moves: bool, interpret: bool = False):
     """Run the tape DP. Returns (score, end_i, end_j) each (BT, TT) plus
-    (moves (BT, L, W/8), c_rel (BT, L)) for traceback chaining."""
+    (moves (BT, L, GWp/8), (c_rel, jr_rows)) for traceback chaining."""
     B, L = q_tape.shape
-    # Chunk rows per grid step, scaled inversely with the band width so
-    # the double-buffered cellinfo blocks stay within the 16 MB VMEM
-    # budget (~4 MB per block): callers range from W=128 search bands to
-    # W=2048+ path-finding bands.
+    GWp = _region_width(W)
+    w8r = GWp // 8
     T = min(L, _chunk_rows(W, G))
     n_chunks = L // T
-    n_slots = L // G
+    n_groups = L // G
 
     fl = flags.astype(jnp.int32)
     is_reset = fl & 1
@@ -220,83 +283,128 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     local_i = pos - take(seg_start) + 1
 
-    rwin = _build_windows_flat(r_flat, u_abs, W)
-    j = c_rel[:, :, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    m_col = m_row[:, :, None]
-    match = (q_tape[:, :, None] == rwin) & (m_col >= 0)
-    valid_ef = (j >= 1) & (j <= m_col)
-    is_col0 = (j == 0) & (m_col >= 0)
-    valid_h = (j >= 0) & (j <= m_col)
-    cellinfo = (match.astype(jnp.int32)
-                | (valid_ef.astype(jnp.int32) << 1)
-                | (is_col0.astype(jnp.int32) << 2)
-                | (valid_h.astype(jnp.int32) << 3)
-                | (si[:, :, None] << 4)
-                | ((j == m_col).astype(jnp.int32) << 7)
-                | (is_reset[:, :, None] << 8)
-                | (is_capture[:, :, None] << 9)
-                | (local_i[:, :, None] << 10))
+    # ---- per-group quantities ------------------------------------------
+    u_grp = u_abs[:, ::G]                                  # (BT, n_groups)
+    jr_g = u_grp - take(r_base)[:, ::G] - (W - 1)
+    jr_rows = jnp.repeat(jr_g, G, axis=1)
+    d_off = u_abs - jnp.repeat(u_grp, G, axis=1)           # in [0, G*MS]
+    adv = jnp.concatenate(
+        [jnp.zeros((BT, 1), u_grp.dtype), u_grp[:, 1:] - u_grp[:, :-1]],
+        axis=1)
+    rst_g = is_reset[:, ::G]
+    m_g = m_row[:, ::G]
+    lb_g = local_i[:, ::G]
 
-    h0_tasks = _row0_boundary(c0m, m_t, W, scoring, config)   # (BT, TT, W)
+    # SC_GRP plane: lanes 0..G-1 = per-row packed info, high lanes =
+    # per-group scalars
+    q_codes = q_tape.astype(jnp.int32) & 255
+    rowinfo = (d_off | (is_capture << 8) | (active << 9) | (q_codes << 16))
+    plane = jnp.zeros((BT, n_groups, 128), jnp.int32)
+    plane = plane.at[:, :, :G].set(
+        rowinfo.reshape(BT, n_groups, G).astype(jnp.int32))
+
+    # row-1 out-of-region diagonal boundary per task: H(0, c1-1), masked
+    # to the row-0 band [c0, c0+W)
+    jm1 = cbase + jnp.take_along_axis(
+        S, jnp.clip(seg_start, 0, L - 1), axis=1) - 1
+    h0m1_t = _boundary_vals(jm1, m_t, scoring, config)
+    h0m1_t = jnp.where((jm1 >= c0m) & (jm1 < c0m + W), h0m1_t, NEG)
     bidx = jnp.arange(BT, dtype=jnp.int32)[:, None]
-    h0_rows = jnp.zeros((BT, n_slots, W), jnp.int32).at[
-        bidx, reset_slot].set(h0_tasks, mode='drop')
+    # pad task slots (reset_slot == -1) must not scatter: send them to an
+    # out-of-range index so mode='drop' discards them instead of
+    # clobbering a real task's slot-0 planes
+    rs_idx = jnp.where(reset_slot >= 0, reset_slot, n_groups)
+    rs_clip = jnp.clip(reset_slot, 0, n_groups - 1)
+    h0m1_g = jnp.zeros((BT, n_groups), jnp.int32).at[
+        bidx, rs_idx].set(h0m1_t, mode='drop')
 
-    kernel = _make_tape_kernel(T, W, scoring, config, need_moves)
+    for idx, vals in ((_L_JR, jr_g), (_L_M, m_g), (_L_LB, lb_g),
+                      (_L_ADV, adv), (_L_RST, rst_g), (_L_H0M1, h0m1_g)):
+        plane = plane.at[:, :, idx].set(vals.astype(jnp.int32))
+    sc_grp = jnp.transpose(plane, (1, 0, 2))               # (n_g, BT, 128)
+
+    # ---- reference regions ---------------------------------------------
+    def slice_one(r_b, start):
+        return jax.lax.dynamic_slice(r_b, (start,), (GWp,))
+
+    regions = jax.vmap(lambda r_b, starts:
+                       jax.vmap(lambda s: slice_one(r_b, s))(starts))(
+        r_flat, u_grp)                                     # (BT, n_g, GWp)
+    regions = jnp.transpose(regions, (1, 0, 2))
+
+    # ---- row-0 boundary planes (reset groups), region space, masked to
+    # the row-0 band [c0, c0+W) ------------------------------------------
+    jr_t = jnp.take_along_axis(jr_g, rs_clip, axis=1)      # (BT, TT)
+    ks = jnp.arange(GWp, dtype=jnp.int32)
+    j_h0 = jr_t[:, :, None] + ks[None, None, :]
+    h0_t = _boundary_vals(j_h0, m_t[:, :, None], scoring, config)
+    h0_t = jnp.where((j_h0 >= c0m[:, :, None])
+                     & (j_h0 < c0m[:, :, None] + W), h0_t, NEG)
+    h0_planes = jnp.full((BT, n_groups, GWp), NEG, jnp.int32).at[
+        bidx, rs_idx].set(h0_t, mode='drop')
+    h0_planes = jnp.transpose(h0_planes, (1, 0, 2))
+
+    kernel = _make_tape_kernel(T, W, GWp, scoring, config, need_moves)
     out_specs, out_shape = [], []
     if need_moves:
-        out_specs.append(pl.BlockSpec((BT, T, W // 8), lambda ch: (0, ch, 0),
+        out_specs.append(pl.BlockSpec((T, BT, w8r), lambda ch: (ch, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((BT, L, W // 8), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((L, BT, w8r), jnp.int32))
     out_specs += [
-        pl.BlockSpec((BT, T // G, W), lambda ch: (0, ch, 0),
-                     memory_space=pltpu.VMEM),              # hatn slots
-        pl.BlockSpec((BT, T // G, 128), lambda ch: (0, ch, 0),
-                     memory_space=pltpu.VMEM),              # best slots
+        pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
+                     memory_space=pltpu.VMEM),             # hatn slots
+        pl.BlockSpec((T // G, BT, 128), lambda ch: (ch, 0, 0),
+                     memory_space=pltpu.VMEM),             # best slots
     ]
     out_shape += [
-        jax.ShapeDtypeStruct((BT, n_slots, W), jnp.int32),
-        jax.ShapeDtypeStruct((BT, n_slots, 128), jnp.int32),
+        jax.ShapeDtypeStruct((n_groups, BT, GWp), jnp.int32),
+        jax.ShapeDtypeStruct((n_groups, BT, 128), jnp.int32),
     ]
     outs = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((BT, T, W), lambda ch: (0, ch, 0),
-                         memory_space=pltpu.VMEM),          # cellinfo
-            pl.BlockSpec((BT, T // G, W), lambda ch: (0, ch, 0),
-                         memory_space=pltpu.VMEM),          # h0 slots
+            pl.BlockSpec((T // G, BT, 128), lambda ch: (ch, 0, 0),
+                         memory_space=pltpu.VMEM),         # SC_GRP
+            pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
+                         memory_space=pltpu.VMEM),         # regions (int8)
+            pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
+                         memory_space=pltpu.VMEM),         # h0 planes
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((BT, W), jnp.int32),     # H carry
-            pltpu.VMEM((BT, W), jnp.int32),     # F carry
-            pltpu.VMEM((BT, 1), jnp.int32),     # best lastcol value
-            pltpu.VMEM((BT, 1), jnp.int32),     # best lastcol local row
-            pltpu.VMEM((BT, W), jnp.int32),     # captured H at n_act
+            pltpu.VMEM((BT, GWp), jnp.int32),    # H carry
+            pltpu.VMEM((BT, GWp), jnp.int32),    # F carry
+            pltpu.VMEM((BT, GWp), jnp.int32),    # region (int32)
+            pltpu.VMEM((BT, 128), jnp.int32),    # group plane
+            pltpu.VMEM((BT, 128), jnp.int32),    # group scalars
+            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol value
+            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol local row
+            pltpu.VMEM((BT, GWp), jnp.int32),    # captured H at n_act
         ],
-    )(cellinfo, h0_rows)
+    )(sc_grp, regions, h0_planes)
     if need_moves:
-        moves, hatn_slots, best_slots = outs
+        moves_l, hatn_slots, best_slots = outs
+        moves = jnp.transpose(moves_l, (1, 0, 2))          # (BT, L, w8r)
     else:
         hatn_slots, best_slots = outs
         moves = jnp.zeros((BT, 1, 1), jnp.int32)
 
     # ---- end selection, vectorized over (BT, TT) task slots -------------
+    n_slots = n_groups
     cap = jnp.clip(cap_slot, 0, n_slots - 1)
     last = jnp.clip(last_slot, 0, n_slots - 1)
-    rst = jnp.clip(reset_slot, 0, n_slots - 1)
-    hatn_t = hatn_slots[bidx, cap]                           # (BT, TT, W)
-    best_t = best_slots[bidx, last]                          # (BT, TT, 128)
-    h0_t = h0_rows[bidx, rst]                                # (BT, TT, W)
+    hatn_t = jnp.transpose(hatn_slots, (1, 0, 2))[bidx, cap]  # (BT,TT,GWp)
+    best_t = jnp.transpose(best_slots, (1, 0, 2))[bidx, last]
+    jr_cap = jnp.take_along_axis(jr_g, cap, axis=1)           # (BT, TT)
 
-    ks = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    j_at_n = c_n[:, :, None] + ks
+    j_at_n = jr_cap[:, :, None] + ks[None, None, :]
     m3 = m_t[:, :, None]
-    k_corner = jnp.clip(m_t - c_n, 0, W - 1)
-    corner_ok = (m_t - c_n >= 0) & (m_t - c_n < W)
+    k_corner = jnp.clip(m_t - jr_cap, 0, GWp - 1)
+    corner_ok = (m_t - c_n >= 0) & (m_t - c_n < W) \
+        & (m_t - jr_cap >= 0) & (m_t - jr_cap < GWp)
     corner = jnp.where(corner_ok,
                        jnp.take_along_axis(hatn_t, k_corner[:, :, None],
                                            axis=2)[:, :, 0], NEG)
@@ -309,15 +417,15 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         s = jnp.take_along_axis(row_vals, k_best[:, :, None],
                                 axis=2)[:, :, 0]
         better = s > score
-        end_j = jnp.where(better, c_n + k_best, end_j)
+        end_j = jnp.where(better, jr_cap + k_best, end_j)
         end_i = jnp.where(better, n_t, end_i)
         score = jnp.maximum(score, s)
     if config.free_end_s1:
-        k0 = jnp.clip(m_t - c0m, 0, W - 1)
+        # row-0 candidate straight from the boundary formula, gated by
+        # the row-0 band (v1 semantics: j = m must lie in [c0, c0+W))
         row0_ok = (m_t - c0m >= 0) & (m_t - c0m < W)
         row0 = jnp.where(row0_ok,
-                         jnp.take_along_axis(h0_t, k0[:, :, None],
-                                             axis=2)[:, :, 0], NEG)
+                         _boundary_vals(m_t, m_t, scoring, config), NEG)
         kern_val, kern_i = best_t[:, :, 0], best_t[:, :, 1]
         col_val = jnp.where(kern_val > row0, kern_val, row0)
         col_i = jnp.where(kern_val > row0, kern_i, 0)
@@ -325,14 +433,14 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         end_i = jnp.where(better, col_i, end_i)
         end_j = jnp.where(better, m_t, end_j)
         score = jnp.maximum(score, col_val)
-    return score, end_i, end_j, moves, c_rel
+    return score, end_i, end_j, moves, (c_rel, jr_rows)
 
 
-def _make_tape_traceback_kernel(T, W, n_chunks, TT):
-    w8 = W // 8
+def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
+    w8r = GWp // 8
 
-    def kernel(moves_ref, crow_ref, ntask_ref, endabs_ref, endj_ref,
-               segst_ref, rec_ref, fin_ref, st_scr):
+    def kernel(moves_ref, crow_ref, jrow_ref, ntask_ref, endabs_ref,
+               endj_ref, segst_ref, rec_ref, fin_ref, st_scr):
         b = pl.program_id(0)
         chunk_rev = pl.program_id(1)
         chunk = n_chunks - 1 - chunk_rev
@@ -350,16 +458,18 @@ def _make_tape_traceback_kernel(T, W, n_chunks, TT):
             st_scr[4] = jnp.where(k0 >= 0, segst_ref[b, kc], 0)
 
         rec_ref[0, :, :] = jnp.zeros((T, 1), jnp.int32)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, w8), 1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, w8r), 1)
 
         def read_cell(i_abs, j):
             t = jnp.clip(i_abs - 1 - chunk_lo, 0, T - 1)
             row = moves_ref[0, pl.ds(t, 1), :]
             c_i = crow_ref[0, pl.ds(t, 1), :][0, 0]
+            jr_i = jrow_ref[0, pl.ds(t, 1), :][0, 0]
             band = j - c_i
-            word_idx = jnp.remainder(band, w8)
+            lane_r = j - jr_i
+            word_idx = jnp.remainder(lane_r, w8r)
             word = jnp.sum(jnp.where(lane_iota == word_idx, row, 0))
-            nibble = jnp.clip(band // w8, 0, 7)
+            nibble = jnp.clip(lane_r // w8r, 0, 7)
             return (word >> (4 * nibble)) & 0xF, band
 
         def cond(state):
@@ -435,21 +545,24 @@ def _make_tape_traceback_kernel(T, W, n_chunks, TT):
 
 
 @functools.partial(jax.jit, static_argnames=('W', 'interpret'))
-def tape_traceback(moves, c_rel, n_tasks, end_abs, end_j, seg_start, W,
-                   interpret: bool = False):
+def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
+                   seg_start, W, interpret: bool = False):
     """On-device traceback over a whole tape. Returns (records (BT, L)
     int32, fin (BT, TT, 3) = (final local i, final j, stop code))."""
-    B, L, w8 = moves.shape
+    B, L, w8r = moves.shape
+    GWp = w8r * 8
     TT = end_abs.shape[1]
     T = min(L, 512)
     n_chunks = L // T
-    kernel = _make_tape_traceback_kernel(T, W, n_chunks, TT)
+    kernel = _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT)
     rec, fin = pl.pallas_call(
         kernel,
         grid=(B, n_chunks),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, T, w8), lambda b, ch: (b, n_chunks - 1 - ch, 0),
+            pl.BlockSpec((1, T, w8r), lambda b, ch: (b, n_chunks - 1 - ch, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.VMEM),
@@ -470,6 +583,7 @@ def tape_traceback(moves, c_rel, n_tasks, end_abs, end_j, seg_start, W,
         ],
         scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
     )(moves, c_rel[:, :, None].astype(jnp.int32),
+      jr_rows[:, :, None].astype(jnp.int32),
       n_tasks.astype(jnp.int32), end_abs.astype(jnp.int32),
       end_j.astype(jnp.int32), seg_start.astype(jnp.int32))
     return rec[:, :, 0], fin[:, :, :3]
@@ -482,7 +596,7 @@ def tape_with_traceback(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t,
                         n_tasks, scoring, config, W,
                         interpret: bool = False):
     """Forward tape DP + chained on-device traceback in one jit."""
-    score, end_i, end_j, moves, c_rel = tape_forward(
+    score, end_i, end_j, moves, (c_rel, jr_rows) = tape_forward(
         q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         seg_start, reset_slot, cap_slot, last_slot,
         scoring=scoring, config=config, W=W, need_moves=True,
@@ -491,6 +605,6 @@ def tape_with_traceback(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t,
     end_abs = jnp.where(valid, seg_start + end_i, 0)
     ej = jnp.where(valid, end_j, 0)
     ss = jnp.where(valid, seg_start, 0)
-    records, fin = tape_traceback(moves, c_rel, n_tasks, end_abs, ej, ss, W,
-                                  interpret=interpret)
+    records, fin = tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs,
+                                  ej, ss, W, interpret=interpret)
     return score, end_i, end_j, records, fin

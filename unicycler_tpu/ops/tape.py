@@ -77,9 +77,9 @@ def build_tapes(tasks, W, build_corridor) -> List[TapeLaunch]:
     order = sorted(range(len(tasks)), key=lambda i: -len(tasks[i].q))
     # segments: consecutive groups of BT sorted tasks
     segments = [order[s:s + BT] for s in range(0, len(order), BT)]
-    # the row cap scales inversely with band width (the cellinfo
-    # intermediate is B x L x W int32 in HBM)
-    l_cap = max(512, L_CAP * 256 // W // 512 * 512)
+    # the row cap scales inversely with band width and track count (the
+    # cellinfo intermediate is BT x L x W int32 in HBM)
+    l_cap = max(512, L_CAP * 256 * 8 // (W * BT) // 512 * 512)
 
     launches = []
     seg_pos = 0
