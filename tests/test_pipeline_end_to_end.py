@@ -161,3 +161,67 @@ def test_hybrid_assembly_with_repeat(tmp_path):
     else:
         # partial success: the largest contig must cover most of the genome
         assert len(longest) >= len(part_a)
+
+
+def test_short_read_assembly_with_errors(tmp_path):
+    """The same circular-genome property at a 1% read error rate: the
+    k-mer-spectrum corrector (asm/correct.py) plus graph cleaning must
+    absorb the noise (the role of SPAdes' read correction, which the
+    reference runs by default — ref spades_func.py:220-252)."""
+    from unicycler_tpu.pipeline.main import main
+    genome = rand_genome(8000, 4242)
+    pairs_1, pairs_2 = make_fake_short_reads(genome, error_rate=0.01,
+                                             seed=11)
+    r1 = str(tmp_path / 'reads_1.fastq')
+    r2 = str(tmp_path / 'reads_2.fastq')
+    write_fastq(r1, pairs_1)
+    write_fastq(r2, pairs_2)
+    out = str(tmp_path / 'out')
+    main(['-1', r1, '-2', r2, '-o', out, '--verbosity', '0',
+          '--keep', '0', '--min_fasta_length', '100'])
+    fasta = load_fasta(os.path.join(out, 'assembly.fasta'))
+    assert len(fasta) == 1, [len(s) for _, s in fasta]
+    _, seq = fasta[0]
+    assert sequence_matches_any_rotation(seq, genome), \
+        'assembled %d bp vs truth %d bp' % (len(seq), len(genome))
+
+
+def test_hybrid_assembly_with_errors(tmp_path):
+    """Hybrid repeat resolution at 1% short-read and 5% long-read error:
+    errorful long reads must still bridge the repeat."""
+    from unicycler_tpu.pipeline.main import main
+    repeat = rand_genome(500, 80)
+    part_a = rand_genome(5000, 90)
+    part_b = rand_genome(3000, 100)
+    genome = part_a + repeat + part_b + repeat
+    pairs_1, pairs_2 = make_fake_short_reads(genome, error_rate=0.01,
+                                             seed=13)
+    long_reads = make_fake_long_reads(genome, read_length=4000, step=400,
+                                      error_rate=0.05, seed=14)
+    r1 = str(tmp_path / 'reads_1.fastq')
+    r2 = str(tmp_path / 'reads_2.fastq')
+    rl = str(tmp_path / 'long.fastq')
+    write_fastq(r1, pairs_1)
+    write_fastq(r2, pairs_2)
+    write_fastq(rl, long_reads)
+    out = str(tmp_path / 'out')
+    main(['-1', r1, '-2', r2, '-l', rl, '-o', out,
+          '--verbosity', '0', '--keep', '0', '--min_fasta_length', '100'])
+    fasta = load_fasta(os.path.join(out, 'assembly.fasta'))
+    total = sum(len(seq) for _, seq in fasta)
+    assert total >= len(genome) - 200, \
+        'assembled %d bp vs truth %d bp' % (total, len(genome))
+    longest = max((seq for _, seq in fasta), key=len)
+    # the assembly may keep small indel scars from read errors, so the
+    # contig must cover the genome at high identity rather than exactly
+    from unicycler_tpu.io.fastx import Read, Reference
+    from unicycler_tpu.align.scoring import AlignmentScoringScheme
+    from unicycler_tpu.align.semi_global import align_reads_to_refs
+    read = Read('contig', longest, None)
+    align_reads_to_refs([read], [Reference('truth', genome + genome)],
+                        AlignmentScoringScheme('3,-6,-5,-2'),
+                        low_score_threshold=70.9)
+    assert read.alignments
+    best = max(read.alignments, key=lambda a: a.scaled_score)
+    assert best.percent_identity > 99.0
+    assert len(longest) >= len(part_a) + len(repeat)

@@ -485,6 +485,20 @@ def build_best_short_read_graph(args):
         from ..misc import quit_with_error
         quit_with_error('no short reads available for assembly')
 
+    if not getattr(args, 'no_correct', False):
+        from .correct import correct_reads
+        n_before = len(read_arrays)
+        read_arrays, stats = correct_reads(read_arrays)
+        log.log('read error correction: %d/%d reads corrected '
+                '(%d substitutions; solid threshold %d)'
+                % (stats['reads_corrected'], n_before,
+                   stats['substitutions'], stats['threshold']))
+        # keep the paired views in sync with the corrected arrays
+        if pairs_1:
+            pairs_1 = read_arrays[:len(pairs_1)]
+        if pairs_2:
+            pairs_2 = read_arrays[len(pairs_1):len(pairs_1) + len(pairs_2)]
+
     read_lengths = [len(a) for a in read_arrays]
     if args.kmers:
         kmer_range = sorted(int(x) for x in args.kmers.split(','))

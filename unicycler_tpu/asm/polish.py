@@ -69,75 +69,64 @@ def polish_round(unitig_graph, reads, scoring):
     results = banded_ops.align_banded(tasks, scoring, config=pw.SEMI_GLOBAL,
                                       band=200, need_cigar=True)
 
-    # Vote accumulation per unitig.
-    votes = {}
-    for name, seg in unitig_graph.segments.items():
-        n = seg.get_length()
-        votes[name] = {
-            'base': [defaultdict(int) for _ in range(n)],
-            'qual': [defaultdict(int) for _ in range(n)],
-            'gap': np.zeros(n, np.int32),
-            'ins': defaultdict(list),
-            'cover': np.zeros(n, np.int32),
-        }
+    # Vote accumulation per unitig — vectorised run expansion
+    # (ops/votes.py) instead of per-base Python dict walks.
+    from ..ops.votes import ColumnVotes
+    votes = {name: ColumnVotes(seg.get_length())
+             for name, seg in unitig_graph.segments.items()}
 
     for (ref_name, win_start, read, a), pa in zip(task_meta, results):
         if pa is None or pa.score <= 0 or not pa.cigar:
             continue
-        seq = read.sequence[a.read_start:a.read_end]
-        qual = read.qualities[a.read_start:a.read_end]
+        codes = read.codes[a.read_start:a.read_end]
+        qual = (read.qualities or '')[a.read_start:a.read_end]
         if a.read_strand == '-':
-            from ..misc import reverse_complement
-            seq = reverse_complement(seq)
+            codes = revcomp_codes(codes)
             qual = qual[::-1]
-        v = votes[ref_name]
-        n_ref = len(v['gap'])
-        i = pa.s1_start
-        j = win_start + pa.s2_start
-        for count, op in pa.cigar:
-            if op == 'M':
-                end = min(count, n_ref - j)
-                for kk in range(max(0, end)):
-                    base = seq[i + kk]
-                    v['base'][j + kk][base] += 1
-                    v['qual'][j + kk][base] += ord(qual[i + kk]) \
-                        if i + kk < len(qual) else 0
-                v['cover'][j:j + max(0, end)] += 1
-                i += count
-                j += count
-            elif op == 'D':
-                if j < n_ref:
-                    v['gap'][j:min(j + count, n_ref)] += 1
-                j += count
-            else:
-                ins_seq = seq[i:i + count]
-                v['ins'][j].append(ins_seq)
-                i += count
+        qv = np.frombuffer(qual.encode()[:len(codes)].ljust(
+            len(codes), b'\x00'), np.uint8).astype(np.int64)
+        votes[ref_name].add_alignment(pa.cigar, pa.s1_start,
+                                      win_start + pa.s2_start, codes, qv)
 
     # Consensus call per unitig.
+    from ..io.fastx import decode_sequence
     polished = {}
     for name, seg in unitig_graph.segments.items():
         v = votes[name]
         original = seg.forward_sequence
-        out = []
         n = len(original)
-        for b in range(n):
-            col = v['base'][b]
-            if not col:
-                out.append(original[b])     # uncovered: keep original
-            else:
-                best = max(col, key=lambda x: (col[x], v['qual'][b][x]))
-                if v['gap'][b] > col[best]:
-                    pass                    # deletion wins
-                else:
-                    out.append(best)
-            ins = v['ins'].get(b + 1)
-            if ins and 2 * len(ins) > max(1, int(v['cover'][min(b, n - 1)])):
-                counts = Counter(ins)
+        best_code, best_count, _ = v.best_bases()
+        covered = v.base.sum(axis=1) > 0
+        cover = v.cover
+        gap = v.gap
+        orig_arr = np.frombuffer(original.encode(), dtype='S1')
+        best_arr = np.frombuffer(decode_sequence(best_code).encode(),
+                                 dtype='S1')
+        chars = np.where(covered, best_arr, orig_arr)
+        keep = ~covered | (gap <= best_count)
+        accepted = []
+        for p, ins in v.ins.items():
+            b = p - 1
+            if not (0 <= b < n):
+                continue
+            texts = [s for s, _ in ins]
+            if 2 * len(texts) > max(1, int(cover[min(b, n - 1)])):
+                counts = Counter(texts)
                 best_ins, cnt = counts.most_common(1)[0]
-                if 2 * cnt > len(ins) or len(counts) == 1:
-                    out.append(best_ins)
-        polished[name] = ''.join(out)
+                if 2 * cnt > len(texts) or len(counts) == 1:
+                    accepted.append((p, best_ins))
+        if not accepted:
+            polished[name] = chars[keep].tobytes().decode()
+        else:
+            accepted.sort()
+            out, prev = [], 0
+            for p, text in accepted:
+                span = slice(prev, p)
+                out.append(chars[span][keep[span]].tobytes().decode())
+                out.append(text)
+                prev = p
+            out.append(chars[prev:][keep[prev:]].tobytes().decode())
+            polished[name] = ''.join(out)
     return polished, mapping_quality, dict(unitig_depths)
 
 

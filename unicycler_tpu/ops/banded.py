@@ -592,7 +592,8 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
     """Build tapes and launch the kernels (async). Returns the pending
     list of (TapeLaunch, device arrays)."""
     from .tape import build_tapes
-    from .pallas_tape import tape_forward, tape_with_traceback
+    from .pallas_tape import (compress_records, tape_forward,
+                              tape_with_traceback)
     from ..utils import trace
     with trace.span('tape_build'):
         launches = build_tapes(live_tasks, W, build_corridor)
@@ -606,32 +607,24 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                          (tp.cbase, tp.c0m, tp.c_n, tp.m_t, tp.n_t,
                           tp.r_base, tp.seg_start, tp.reset_slot,
                           tp.cap_slot, tp.last_slot))
-        main_in = (put(tp.q_tape), put(tp.flags), put(tp.r_flat))
-        # A row record is (d_count << 3) | move_bits with d_count <= W,
-        # so it fits 16 bits only when W <= 8191. Within that bound two
-        # rows pack per int32 word — halves the dominant fetch over the
-        # ~35 MB/s tunnel; wider bands (path-finding consensus vs long
-        # candidate paths) fetch records unpacked to avoid silent
-        # modulo-2^16 corruption of long deletion runs.
-        pack = W <= 8191
+        main_in = (put(tp.qf), put(tp.r_flat))
         if need_cigar:
             score, end_i, end_j, records, fin = tape_with_traceback(
                 *main_in, *per_task, put(tp.n_tasks),
                 scoring=scoring, config=config, W=W, interpret=interpret)
-            if pack:
-                lr = (tp.L_real + 1) // 2 * 2
-                r2 = records[:, :lr]
-                packed = (r2[:, 0::2] & 0xFFFF) | (r2[:, 1::2] << 16)
-            else:
-                packed = records[:, :tp.L_real]
-            dev = [score, end_i, end_j, packed, jnp.ravel(fin)]
+            # Sparse record fetch: ship only the rows whose record is
+            # informative (see compress_records); cap at 1/8 of the tape
+            # (the dense device array is the rare-overflow fallback).
+            cap = max(4096, records.shape[0] * records.shape[1] // 8)
+            nnz, idx, vals = compress_records(records, cap)
+            dev = [score, end_i, end_j, nnz, idx, vals, jnp.ravel(fin)]
+            pending.append((tp, dev, (cap, records)))
         else:
             score, end_i, end_j, _, _ = tape_forward(
                 *main_in, *per_task,
                 scoring=scoring, config=config, W=W, need_moves=False,
                 interpret=interpret)
-            dev = [score, end_i, end_j]
-        pending.append((tp, dev, pack))
+            pending.append((tp, [score, end_i, end_j], None))
     return pending
 
 
@@ -728,20 +721,26 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config):
     """Decode fetched tape outputs into PairAlignments; returns the task
     indices needing the band-escape retry path."""
     from .pallas_traceback import records_to_cigar
+    from ..utils import trace
     retry = []
-    for (tp, dev, pack), parts in zip(pending, grouped):
+    for (tp, dev, extra), parts in zip(pending, grouped):
         score, end_i, end_j = parts[0], parts[1], parts[2]
         if need_cigar:
-            packed = parts[3]
-            if pack:
-                records = np.empty((packed.shape[0], 2 * packed.shape[1]),
-                                   np.int32)
-                records[:, 0::2] = packed & 0xFFFF
-                records[:, 1::2] = (packed >> 16) & 0xFFFF
+            cap, rec_dev = extra
+            nnz = int(parts[3][0])
+            B_, L_ = rec_dev.shape
+            if nnz > cap:
+                # sparse overflow (extremely indel-dense workload): fetch
+                # the dense device array after all
+                trace.add('tape.sparse_overflow')
+                records = np.asarray(rec_dev)
             else:
-                records = packed
+                idx, vals = parts[4], parts[5]
+                records = np.ones(B_ * L_, np.int32)
+                records[idx[:nnz]] = vals[:nnz]
+                records = records.reshape(B_, L_)
             from .tape import BT as _BT
-            fin = parts[4].reshape(_BT, tp.TT, 3)
+            fin = parts[6].reshape(_BT, tp.TT, 3)
         else:
             records = fin = None
         for tr in range(tp.task_ids.shape[0]):

@@ -10,7 +10,7 @@ qualities breaking ties — preserving the reference's most-common-base /
 quality-tie-break semantics (consensus_align.cpp:159-236).
 """
 
-from collections import Counter, defaultdict
+from collections import Counter
 
 import numpy as np
 
@@ -33,70 +33,60 @@ def consensus_align(seqs, quals, scoring):
     backbone_qual = quals[0]
     n = len(backbone)
 
+    backbone_codes = encode_sequence(backbone)
     others = [encode_sequence(s) for s in seqs[1:]]
     alignments = dispatch.batch_align(others,
-                                      [encode_sequence(backbone)] * len(others),
+                                      [backbone_codes] * len(others),
                                       scoring, pw.FULLY_GLOBAL, band=1000,
                                       need_cigar=True)
 
-    # Vote accumulators along backbone positions.
-    base_votes = [defaultdict(int) for _ in range(n)]      # base -> count
-    base_quals = [defaultdict(int) for _ in range(n)]      # base -> qual sum
-    gap_votes = np.zeros(n, np.int32)
-    insertions = defaultdict(list)   # backbone pos -> [(seq, qual_sum)]
-
-    for b in range(n):
-        base = backbone[b]
-        base_votes[b][base] += 1
-        base_quals[b][base] += ord(backbone_qual[b]) if b < len(backbone_qual) else 0
-
+    # Vectorised vote accumulation (ops/votes.py): the backbone votes
+    # once per column, each aligned read's runs expand to flat
+    # scatter-adds — no per-base Python work.
+    from .votes import ColumnVotes
+    votes = ColumnVotes(n)
+    bq = np.frombuffer(backbone_qual.encode()[:n].ljust(n, b'\x00'),
+                       np.uint8).astype(np.int64)
+    cols = np.arange(n)
+    ok = (backbone_codes >= 0) & (backbone_codes <= 3)
+    np.add.at(votes.base, (cols[ok], backbone_codes[ok].astype(np.int64)),
+              1)
+    np.add.at(votes.qual, (cols[ok], backbone_codes[ok].astype(np.int64)),
+              bq[ok])
     for read_idx, pa in enumerate(alignments):
         if pa is None:
             continue
-        seq = seqs[read_idx + 1]
         qual = quals[read_idx + 1]
-        i = pa.s1_start   # position in read
-        j = pa.s2_start   # position in backbone
-        for count, op in pa.cigar:
-            if op == 'M':
-                for k in range(count):
-                    base = seq[i + k]
-                    base_votes[j + k][base] += 1
-                    base_quals[j + k][base] += (ord(qual[i + k])
-                                                if i + k < len(qual) else 0)
-                i += count
-                j += count
-            elif op == 'D':      # gap in read = vote against backbone bases
-                gap_votes[j:j + count] += 1
-                j += count
-            else:                # 'I': insertion relative to backbone
-                ins_seq = seq[i:i + count]
-                ins_qual = sum(ord(c) for c in qual[i:i + count]) \
-                    if i + count <= len(qual) else 0
-                insertions[j].append((ins_seq, ins_qual))
-                i += count
+        codes = others[read_idx]
+        qv = np.frombuffer(qual.encode()[:len(codes)].ljust(
+            len(codes), b'\x00'), np.uint8).astype(np.int64)
+        votes.add_alignment(pa.cigar, pa.s1_start, pa.s2_start,
+                            codes, qv, seq=seqs[read_idx + 1])
 
     total_reads = 1 + sum(1 for a in alignments if a is not None)
-    out = []
-    for b in range(n):
-        votes = base_votes[b]
-        best_base = max(votes,
-                        key=lambda x: (votes[x], base_quals[b][x]))
-        base_count = votes[best_base]
-        # Gap wins the column only with a strictly greater count; on ties
-        # the base wins when its summed quality is at least the median
-        # (approximating consensus_align.cpp:159-236's behaviour).
-        if gap_votes[b] > base_count:
-            pass  # deleted column
-        else:
-            out.append(best_base)
-        # Majority insertions after this column are added.
-        ins = insertions.get(b + 1)
-        if ins and len(ins) * 2 > total_reads:
+    best_code, best_count, _ = votes.best_bases(
+        prefer_codes=backbone_codes[:n])
+    gap_votes = votes.gap
+    keep = gap_votes <= best_count           # gap wins only strictly
+    best_chars = decode_sequence(best_code)
+    chars_arr = np.frombuffer(best_chars.encode(), dtype='S1')
+    accepted = []                            # (position, insertion text)
+    for p, ins in votes.ins.items():
+        if len(ins) * 2 > total_reads and 1 <= p <= n:
             counts = Counter(s for s, _ in ins)
             best_ins, _ = max(counts.items(),
                               key=lambda kv: (kv[1],
                                               sum(q for s, q in ins
                                                   if s == kv[0])))
-            out.append(best_ins)
+            accepted.append((p, best_ins))
+    if not accepted:
+        return chars_arr[keep].tobytes().decode()
+    accepted.sort()
+    out, prev = [], 0
+    for p, text in accepted:
+        span = slice(prev, p)
+        out.append(chars_arr[span][keep[span]].tobytes().decode())
+        out.append(text)
+        prev = p
+    out.append(chars_arr[prev:][keep[prev:]].tobytes().decode())
     return ''.join(out)

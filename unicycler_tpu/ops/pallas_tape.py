@@ -56,11 +56,11 @@ G = SEG_ALIGN
 
 # SC_GRP plane lane assignments (lanes 0..G-1 hold per-row packed info)
 _L_JR = G + 0        # per-group region base column jr
-_L_M = G + 1         # task m_act (-1 for inactive/pad rows)
+_L_M = G + 1        # task m_act (-1 for inactive/pad rows)
 _L_LB = G + 2        # local DP row index of the group's first row
 _L_ADV = G + 3       # carry realignment shift at group entry
 _L_RST = G + 4       # 1 if this group starts with a task reset row
-_L_H0M1 = G + 5      # H(0, c1-1) for the reset row's lane-0 diagonal
+_L_C0 = G + 5        # task's row-0 band offset c[0] (for in-kernel h0)
 
 
 def _region_width(W):
@@ -70,12 +70,15 @@ def _region_width(W):
 
 
 def _chunk_rows(W, minimum):
-    """Rows per grid step: the largest power of two <= 512 keeping the
+    """Rows per grid step: the largest power of two <= 256 keeping the
     per-chunk VMEM blocks (dominated by the (T, BT, GWp/8) moves block
-    and the per-group region/h0/hatn planes) near ~4 MB."""
+    and the per-group region/h0/hatn planes) near ~4 MB. Capped at 256:
+    Mosaic compile time grows superlinearly in T for this kernel (T=512
+    at W=128 took minutes and then crashed the compiler; T=256 compiles
+    in seconds)."""
     GWp = _region_width(W)
     per_row = BT * (GWp // 8) * 4 + BT * (9 * GWp + 128 * 8) // G
-    t = 512
+    t = 256
     while t > minimum and t * per_row > (1 << 22):
         t //= 2
     return max(t, minimum)
@@ -92,151 +95,158 @@ def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
     match_s, mismatch = int(scoring.match), int(scoring.mismatch)
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
 
-    def kernel(sc_ref, reg_ref, h0_ref, *out_and_scratch):
+    def kernel(sc_ref, reg_ref, *out_and_scratch):
         if need_moves:
             (moves_ref, hatn_ref, best_ref,
-             h_scr, f_scr, reg_scr, grp_scr, sca_scr,
-             bestv_scr, besti_scr, hatn_scr) = out_and_scratch
+             h_scr, f_scr, bestv_scr, besti_scr, hatn_scr) = out_and_scratch
         else:
             (hatn_ref, best_ref,
-             h_scr, f_scr, reg_scr, grp_scr, sca_scr,
-             bestv_scr, besti_scr, hatn_scr) = out_and_scratch
+             h_scr, f_scr, bestv_scr, besti_scr, hatn_scr) = out_and_scratch
             moves_ref = None
         lane = jax.lax.broadcasted_iota(jnp.int32, (BT, GWp), 1)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
         out_lane = lane128
 
-        def row_body(t, _):
-            g_local = t // G
-            r_in_g = t - g_local * G
-
-            @pl.when(r_in_g == 0)
-            def _group_prologue():
-                grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(BT, 128)
-                grp_scr[:, :] = grp
-                reg_scr[:, :] = reg_ref[pl.ds(g_local, 1), :, :] \
-                    .reshape(BT, GWp).astype(jnp.int32)
-                jr = _lane_scalar(grp, lane128, _L_JR)
-                m_g = _lane_scalar(grp, lane128, _L_M)
-                lb = _lane_scalar(grp, lane128, _L_LB)
-                adv = _lane_scalar(grp, lane128, _L_ADV)
-                rst = _lane_scalar(grp, lane128, _L_RST)
-                h0m1 = _lane_scalar(grp, lane128, _L_H0M1)
-                sca = jnp.where(lane128 == 0, jr,
-                      jnp.where(lane128 == 1, m_g,
-                      jnp.where(lane128 == 2, lb,
-                      jnp.where(lane128 == 3, rst,
-                      jnp.where(lane128 == 4, h0m1, 0)))))
-                sca_scr[:, :] = sca
-                # realign carries to the new region frame (shift left by
-                # adv lanes; wrapped tail lanes -> NEG)
-                h = h_scr[:, :]
-                f = f_scr[:, :]
-                for b in range(8):
-                    s = 1 << b
-                    bit = ((adv >> b) & 1) == 1
-                    h = jnp.where(bit, pltpu.roll(h, (GWp - s) % GWp, 1), h)
-                    f = jnp.where(bit, pltpu.roll(f, (GWp - s) % GWp, 1), f)
-                tail = lane >= (GWp - adv)
-                h = jnp.where(tail, NEG, h)
-                f = jnp.where(tail, NEG, f)
-                # task reset: swap in the row-0 boundary for reset tracks
-                h0g = h0_ref[pl.ds(g_local, 1), :, :].reshape(BT, GWp)
-                rst_b = rst == 1
-                h_scr[:, :] = jnp.where(rst_b, h0g, h)
-                f_scr[:, :] = jnp.where(rst_b, NEG, f)
-                bestv_scr[:, :] = jnp.where(rst_b, NEG, bestv_scr[:, :])
-                besti_scr[:, :] = jnp.where(rst_b, 0, besti_scr[:, :])
-
-            grp = grp_scr[:, :]
-            sca = sca_scr[:, :]
-            jr = _lane_scalar(sca, lane128, 0)
-            m_g = _lane_scalar(sca, lane128, 1)
-            lb = _lane_scalar(sca, lane128, 2)
-            rst = _lane_scalar(sca, lane128, 3)
-            h0m1 = _lane_scalar(sca, lane128, 4)
-
-            rowv = _lane_scalar(grp, lane128, r_in_g)
-            d = rowv & 255
-            is_capture = ((rowv >> 8) & 1) == 1
-            active = ((rowv >> 9) & 1) == 1
-            qv = (rowv >> 16) & 255
-            local_i = lb + r_in_g
-
-            j = jr + lane
-            m_col = jnp.where(active, m_g, -1)
-            vb = (lane >= d) & (lane < d + W)
-            valid_ef = vb & (j >= 1) & (j <= m_col)
-            is_col0 = vb & (j == 0) & (m_col >= 0)
-            valid_h = vb & (j >= 0) & (j <= m_col)
-            is_lastcol = vb & (j == m_col)
-            is_match = reg_scr[:, :] == qv
-
-            h_prev = h_scr[:, :]
-            f_prev = f_scr[:, :]
-
-            f_open = h_prev + open_
-            f_ext_v = f_prev + ext
-            f = jnp.maximum(f_open, f_ext_v)
-            f_ext_bit = (f == f_ext_v) & (f_prev > NEG // 2)
-
-            sub = jnp.where(is_match, match_s, mismatch)
-            h_diag = _shift_right_one(h_prev)
-            # the reset row's left-edge diagonal H(0, c1-1) lives one lane
-            # outside the region; splice in the precomputed scalar
-            is_reset_row = (r_in_g == 0) & (rst == 1)
-            h_diag = jnp.where(is_reset_row & (lane == 0), h0m1, h_diag)
-            diag = jnp.where(valid_ef, h_diag + sub, NEG)
-            if config.free_start_s1:
-                col0_val = jnp.zeros_like(diag)
+        def boundary_row(j, m_g, c0):
+            """H(0, j) per lane, masked to the row-0 band [c0, c0+W)."""
+            if config.free_start_s2:
+                h0 = jnp.where(j >= 0, 0, NEG)
             else:
-                col0_val = jnp.int32(open_) + (local_i - 1) * jnp.int32(ext)
-            diag = jnp.where(is_col0, col0_val, diag)
+                h0 = jnp.where(j > 0, open_ + (j - 1) * ext,
+                               jnp.where(j == 0, 0, NEG))
+            return jnp.where((j <= m_g) & (j >= c0) & (j < c0 + W),
+                             h0, NEG)
 
-            g = jnp.maximum(diag, jnp.where(valid_ef, f, NEG))
+        # The body iterates GROUPS with the G rows unrolled: per-group
+        # scalars, carry loads/stores, and slot publications happen once
+        # per 32 rows, amortising per-row load/branch overhead.
+        def group_body(g_local, _):
+            grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(BT, 128)
+            reg = reg_ref[pl.ds(g_local, 1), :, :] \
+                .reshape(BT, GWp).astype(jnp.int32)
+            jr = _lane_scalar(grp, lane128, _L_JR)
+            m_g = _lane_scalar(grp, lane128, _L_M)
+            lb = _lane_scalar(grp, lane128, _L_LB)
+            adv = _lane_scalar(grp, lane128, _L_ADV)
+            rst = _lane_scalar(grp, lane128, _L_RST)
+            c0 = _lane_scalar(grp, lane128, _L_C0)
 
-            cvec = g + open_ - (lane + 1) * ext
-            cmax = _prefix_cummax(cvec)
-            e = _shift_right_one(cmax) + lane * ext
-            e = jnp.where(valid_ef & (e > NEG // 2), e, NEG)
+            # realign carries to the new region frame (shift left by adv
+            # lanes; wrapped tail lanes -> NEG)
+            h = h_scr[:, :]
+            f = f_scr[:, :]
+            for b in range(8):
+                s = 1 << b
+                bit = ((adv >> b) & 1) == 1
+                h = jnp.where(bit, pltpu.roll(h, (GWp - s) % GWp, 1), h)
+                f = jnp.where(bit, pltpu.roll(f, (GWp - s) % GWp, 1), f)
+            tail = lane >= (GWp - adv)
+            h = jnp.where(tail, NEG, h)
+            f = jnp.where(tail, NEG, f)
+            # task reset: swap in the row-0 boundary (computed in place
+            # from the boundary formula — no h0 plane input stream)
+            h0g = boundary_row(jr + lane, m_g, c0)
+            h0m1 = boundary_row(jr - 1, m_g, c0)
+            rst_b = rst == 1
+            h = jnp.where(rst_b, h0g, h)
+            f = jnp.where(rst_b, NEG, f)
+            bv = jnp.where(rst_b, NEG, bestv_scr[:, :])
+            bi = jnp.where(rst_b, 0, besti_scr[:, :])
+            hatn = hatn_scr[:, :]
 
-            h = jnp.maximum(g, e)
-            h = jnp.where(valid_h, h, NEG)
+            # group-constant masks
+            m_col_g = m_g                       # gated per row by `active`
+            j = jr + lane
+            lc_lane = j == m_col_g              # <=1 lane per track
+            # per-lane running best-lastcol within this group (reduced
+            # once at group end; lc_lane is group-constant)
+            lcv = jnp.full((BT, GWp), NEG, jnp.int32)
+            lci = jnp.zeros((BT, GWp), jnp.int32)
 
-            e_prev = _shift_right_one(e)
-            e_ext_bit = (e == e_prev + ext) & (e_prev > NEG // 2)
+            for r_in_g in range(G):
+                rowv = _lane_scalar(grp, lane128, r_in_g)
+                d = rowv & 255
+                is_capture = ((rowv >> 8) & 1) == 1
+                active = ((rowv >> 9) & 1) == 1
+                qv = (rowv >> 16) & 255
+                local_i = lb + r_in_g
 
-            if need_moves:
-                hsrc = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
-                moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
-                          | jnp.where(f_ext_bit, 8, 0))
-                moves_ref[pl.ds(t, 1), :, :] = \
-                    pack_moves_rows_kernel(moves4)[None, :, :]
+                m_col = jnp.where(active, m_col_g, -1)
+                vb = (lane >= d) & (lane < d + W)
+                valid_ef = vb & (j >= 1) & (j <= m_col)
+                is_col0 = vb & (j == 0) & (m_col >= 0)
+                valid_h = vb & (j >= 0) & (j <= m_col)
+                is_match = reg == qv
 
-            lc_val = jnp.max(jnp.where(is_lastcol, h, NEG), axis=1,
-                             keepdims=True)
-            bv = bestv_scr[:, :]
-            bi = besti_scr[:, :]
-            better = lc_val > bv
-            bv = jnp.where(better, lc_val, bv)
-            bi = jnp.where(better, local_i, bi)
-            bestv_scr[:, :] = bv
-            besti_scr[:, :] = bi
+                f_open = h + open_
+                f_ext_v = f + ext
+                f_new = jnp.maximum(f_open, f_ext_v)
+                f_ext_bit = (f_new == f_ext_v) & (f > NEG // 2)
 
-            hatn = jnp.where(is_capture, h, hatn_scr[:, :])
-            hatn_scr[:, :] = hatn
-            # slot-wise publication: last row of each group wins, so a
-            # task's capture/last slot holds exactly its captured state
+                sub = jnp.where(is_match, match_s, mismatch)
+                h_diag = _shift_right_one(h)
+                if r_in_g == 0:
+                    # the reset row's left-edge diagonal H(0, c1-1) lives
+                    # one lane outside the region; splice the scalar in
+                    h_diag = jnp.where(rst_b & (lane == 0), h0m1, h_diag)
+                diag = jnp.where(valid_ef, h_diag + sub, NEG)
+                if config.free_start_s1:
+                    col0_val = jnp.zeros_like(diag)
+                else:
+                    col0_val = jnp.int32(open_) \
+                        + (local_i - 1) * jnp.int32(ext)
+                diag = jnp.where(is_col0, col0_val, diag)
+
+                g = jnp.maximum(diag, jnp.where(valid_ef, f_new, NEG))
+
+                cvec = g + open_ - (lane + 1) * ext
+                cmax = _prefix_cummax(cvec)
+                e = _shift_right_one(cmax) + lane * ext
+                e = jnp.where(valid_ef & (e > NEG // 2), e, NEG)
+
+                h_new = jnp.maximum(g, e)
+                h_new = jnp.where(valid_h, h_new, NEG)
+
+                e_prev = _shift_right_one(e)
+                e_ext_bit = (e == e_prev + ext) & (e_prev > NEG // 2)
+
+                if need_moves:
+                    hsrc = jnp.where(h_new == diag, 0,
+                                     jnp.where(h_new == e, 1, 2))
+                    moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
+                              | jnp.where(f_ext_bit, 8, 0))
+                    moves_ref[:, pl.ds(g_local * G + r_in_g, 1), :] = \
+                        pack_moves_rows_kernel(moves4)[:, None, :]
+
+                h_lc = jnp.where(vb & lc_lane & (m_col >= 0), h_new, NEG)
+                better = h_lc > lcv
+                lcv = jnp.where(better, h_lc, lcv)
+                lci = jnp.where(better, local_i, lci)
+
+                hatn = jnp.where(is_capture, h_new, hatn)
+                h, f = h_new, f_new
+
+            # one cross-lane reduce per group: at most one lane per track
+            # ever holds a real value, so sum extracts its row index
+            gv = jnp.max(lcv, axis=1, keepdims=True)
+            gi = jnp.sum(jnp.where(lcv > NEG // 2, lci, 0), axis=1,
+                         keepdims=True)
+            grp_better = gv > bv
+            bv = jnp.where(grp_better, gv, bv)
+            bi = jnp.where(grp_better, gi, bi)
+
             hatn_ref[pl.ds(g_local, 1), :, :] = hatn[None, :, :]
             best_ref[pl.ds(g_local, 1), :, :] = jnp.where(
                 out_lane == 0, bv, jnp.where(out_lane == 1, bi, 0)
             )[None, :, :]
-
             h_scr[:, :] = h
             f_scr[:, :] = f
+            bestv_scr[:, :] = bv
+            besti_scr[:, :] = bi
+            hatn_scr[:, :] = hatn
             return 0
 
-        jax.lax.fori_loop(0, T, row_body, 0)
+        jax.lax.fori_loop(0, T // G, group_body, 0)
 
     return kernel
 
@@ -255,73 +265,61 @@ def _boundary_vals(j, m, scoring, config):
 @functools.partial(
     jax.jit,
     static_argnames=('scoring', 'config', 'W', 'need_moves', 'interpret'))
-def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
+def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
                  seg_start, reset_slot, cap_slot, last_slot,
                  scoring: Scoring, config: AlignConfig, W: int,
                  need_moves: bool, interpret: bool = False):
     """Run the tape DP. Returns (score, end_i, end_j) each (BT, TT) plus
     (moves (BT, L, GWp/8), (c_rel, jr_rows)) for traceback chaining."""
-    B, L = q_tape.shape
+    B, L = qf.shape
     GWp = _region_width(W)
     w8r = GWp // 8
     T = min(L, _chunk_rows(W, G))
     n_chunks = L // T
     n_groups = L // G
 
-    fl = flags.astype(jnp.int32)
-    is_reset = fl & 1
-    is_capture = (fl >> 1) & 1
-    si = (fl >> 2) & 7
-    active = (fl >> 5) & 1
+    fl = qf.astype(jnp.int32)
+    q_codes = fl & 7
+    is_reset = (fl >> 3) & 1
+    is_capture = (fl >> 4) & 1
+    si = (fl >> 5) & 7
+    active = (q_codes != 5).astype(jnp.int32)   # 5 = Q_PAD
 
-    seg_id = jnp.clip(jnp.cumsum(is_reset, axis=1) - 1, 0, None)
-    S = jnp.cumsum(si, axis=1)
-    take = lambda a: jnp.take_along_axis(a, seg_id, axis=1)
-    c_rel = S + take(cbase)
-    m_row = jnp.where(active == 1, take(m_t), -1)
-    u_abs = jnp.clip(c_rel + take(r_base) + (W - 1), 0, None)
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    local_i = pos - take(seg_start) + 1
+    # Per-ROW quantities are pure elementwise/cumsum work: task resets
+    # only happen at group starts, so every per-segment base constant
+    # cancels inside a group and no per-row gather is needed (gathers
+    # over (BT, L) measured ~5 us/row of XLA time on this stack).
+    S = jnp.cumsum(si, axis=1)                             # (BT, L)
+    Sg = S[:, ::G]                                         # (BT, n_groups)
+    d_off = S - jnp.repeat(Sg, G, axis=1)                  # in [0, G*MS]
 
-    # ---- per-group quantities ------------------------------------------
-    u_grp = u_abs[:, ::G]                                  # (BT, n_groups)
-    jr_g = u_grp - take(r_base)[:, ::G] - (W - 1)
+    # ---- per-group quantities (gathers over n_groups = L/32 only) ------
+    rst_g = is_reset[:, ::G]
+    seg_id_g = jnp.clip(jnp.cumsum(rst_g, axis=1) - 1, 0, None)
+    takeg = lambda a: jnp.take_along_axis(a, seg_id_g, axis=1)
+    u_grp = jnp.clip(Sg + takeg(cbase + r_base) + (W - 1), 0, None)
+    jr_g = u_grp - takeg(r_base) - (W - 1)
     jr_rows = jnp.repeat(jr_g, G, axis=1)
-    d_off = u_abs - jnp.repeat(u_grp, G, axis=1)           # in [0, G*MS]
     adv = jnp.concatenate(
         [jnp.zeros((BT, 1), u_grp.dtype), u_grp[:, 1:] - u_grp[:, :-1]],
         axis=1)
-    rst_g = is_reset[:, ::G]
-    m_g = m_row[:, ::G]
-    lb_g = local_i[:, ::G]
+    m_g = takeg(m_t)
+    c0_g = takeg(c0m)
+    pos_g = jnp.arange(n_groups, dtype=jnp.int32)[None, :] * G
+    lb_g = pos_g - takeg(seg_start) + 1
 
     # SC_GRP plane: lanes 0..G-1 = per-row packed info, high lanes =
     # per-group scalars
-    q_codes = q_tape.astype(jnp.int32) & 255
     rowinfo = (d_off | (is_capture << 8) | (active << 9) | (q_codes << 16))
     plane = jnp.zeros((BT, n_groups, 128), jnp.int32)
     plane = plane.at[:, :, :G].set(
         rowinfo.reshape(BT, n_groups, G).astype(jnp.int32))
-
-    # row-1 out-of-region diagonal boundary per task: H(0, c1-1), masked
-    # to the row-0 band [c0, c0+W)
-    jm1 = cbase + jnp.take_along_axis(
-        S, jnp.clip(seg_start, 0, L - 1), axis=1) - 1
-    h0m1_t = _boundary_vals(jm1, m_t, scoring, config)
-    h0m1_t = jnp.where((jm1 >= c0m) & (jm1 < c0m + W), h0m1_t, NEG)
-    bidx = jnp.arange(BT, dtype=jnp.int32)[:, None]
-    # pad task slots (reset_slot == -1) must not scatter: send them to an
-    # out-of-range index so mode='drop' discards them instead of
-    # clobbering a real task's slot-0 planes
-    rs_idx = jnp.where(reset_slot >= 0, reset_slot, n_groups)
-    rs_clip = jnp.clip(reset_slot, 0, n_groups - 1)
-    h0m1_g = jnp.zeros((BT, n_groups), jnp.int32).at[
-        bidx, rs_idx].set(h0m1_t, mode='drop')
-
     for idx, vals in ((_L_JR, jr_g), (_L_M, m_g), (_L_LB, lb_g),
-                      (_L_ADV, adv), (_L_RST, rst_g), (_L_H0M1, h0m1_g)):
+                      (_L_ADV, adv), (_L_RST, rst_g), (_L_C0, c0_g)):
         plane = plane.at[:, :, idx].set(vals.astype(jnp.int32))
     sc_grp = jnp.transpose(plane, (1, 0, 2))               # (n_g, BT, 128)
+
+    bidx = jnp.arange(BT, dtype=jnp.int32)[:, None]
 
     # ---- reference regions ---------------------------------------------
     def slice_one(r_b, start):
@@ -332,24 +330,31 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         r_flat, u_grp)                                     # (BT, n_g, GWp)
     regions = jnp.transpose(regions, (1, 0, 2))
 
-    # ---- row-0 boundary planes (reset groups), region space, masked to
-    # the row-0 band [c0, c0+W) ------------------------------------------
-    jr_t = jnp.take_along_axis(jr_g, rs_clip, axis=1)      # (BT, TT)
-    ks = jnp.arange(GWp, dtype=jnp.int32)
-    j_h0 = jr_t[:, :, None] + ks[None, None, :]
-    h0_t = _boundary_vals(j_h0, m_t[:, :, None], scoring, config)
-    h0_t = jnp.where((j_h0 >= c0m[:, :, None])
-                     & (j_h0 < c0m[:, :, None] + W), h0_t, NEG)
-    h0_planes = jnp.full((BT, n_groups, GWp), NEG, jnp.int32).at[
-        bidx, rs_idx].set(h0_t, mode='drop')
-    h0_planes = jnp.transpose(h0_planes, (1, 0, 2))
+    import os as _os
+    _dbg = _os.environ.get('UNICYCLER_TAPE_PROLOG_ONLY')
+    if _dbg:                                            # perf debugging
+        if _dbg == '4':
+            z = (jnp.sum(qf.astype(jnp.int32))          # upload only
+                 + jnp.sum(r_flat.astype(jnp.int32)))
+        elif _dbg == '3':
+            z = jnp.sum(rowinfo)                        # rows only
+        elif _dbg == '2':
+            z = jnp.sum(sc_grp)                         # + plane assembly
+        else:
+            z = jnp.sum(sc_grp) + jnp.sum(regions.astype(jnp.int32))
+        zz = jnp.zeros((BT, TT_ := cap_slot.shape[1]), jnp.int32) + z
+        return (zz, zz, zz, jnp.zeros((BT, 1, 1), jnp.int32),
+                (jnp.zeros((BT, L), jnp.int32), jr_rows))
 
     kernel = _make_tape_kernel(T, W, GWp, scoring, config, need_moves)
     out_specs, out_shape = [], []
     if need_moves:
-        out_specs.append(pl.BlockSpec((T, BT, w8r), lambda ch: (ch, 0, 0),
+        # moves are written track-major (BT, L, w8r) with a dynamic
+        # SUBLANE store per row, so the traceback kernel can read (1, T,
+        # w8r) blocks per track without any whole-array transpose
+        out_specs.append(pl.BlockSpec((BT, T, w8r), lambda ch: (0, ch, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((L, BT, w8r), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((BT, L, w8r), jnp.int32))
     out_specs += [
         pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
                      memory_space=pltpu.VMEM),             # hatn slots
@@ -369,37 +374,35 @@ def tape_forward(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
                          memory_space=pltpu.VMEM),         # SC_GRP
             pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
                          memory_space=pltpu.VMEM),         # regions (int8)
-            pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
-                         memory_space=pltpu.VMEM),         # h0 planes
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((BT, GWp), jnp.int32),    # H carry
             pltpu.VMEM((BT, GWp), jnp.int32),    # F carry
-            pltpu.VMEM((BT, GWp), jnp.int32),    # region (int32)
-            pltpu.VMEM((BT, 128), jnp.int32),    # group plane
-            pltpu.VMEM((BT, 128), jnp.int32),    # group scalars
             pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol value
             pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol local row
             pltpu.VMEM((BT, GWp), jnp.int32),    # captured H at n_act
         ],
-    )(sc_grp, regions, h0_planes)
+    )(sc_grp, regions)
     if need_moves:
-        moves_l, hatn_slots, best_slots = outs
-        moves = jnp.transpose(moves_l, (1, 0, 2))          # (BT, L, w8r)
+        moves, hatn_slots, best_slots = outs         # (BT, L, w8r)
     else:
         hatn_slots, best_slots = outs
         moves = jnp.zeros((BT, 1, 1), jnp.int32)
 
     # ---- end selection, vectorized over (BT, TT) task slots -------------
+    # (gather the TT relevant slots directly — transposing the full slot
+    # planes first costs a whole-array relayout)
     n_slots = n_groups
     cap = jnp.clip(cap_slot, 0, n_slots - 1)
     last = jnp.clip(last_slot, 0, n_slots - 1)
-    hatn_t = jnp.transpose(hatn_slots, (1, 0, 2))[bidx, cap]  # (BT,TT,GWp)
-    best_t = jnp.transpose(best_slots, (1, 0, 2))[bidx, last]
+    hatn_t = hatn_slots[cap, bidx]                            # (BT,TT,GWp)
+    best_t = best_slots[last, bidx]
     jr_cap = jnp.take_along_axis(jr_g, cap, axis=1)           # (BT, TT)
 
+    ks = jnp.arange(GWp, dtype=jnp.int32)
+    c_rel = jr_rows + d_off                   # band offset per (track,row)
     j_at_n = jr_cap[:, :, None] + ks[None, None, :]
     m3 = m_t[:, :, None]
     k_corner = jnp.clip(m_t - jr_cap, 0, GWp - 1)
@@ -589,15 +592,39 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
     return rec[:, :, 0], fin[:, :, :3]
 
 
+@functools.partial(jax.jit, static_argnames=('cap',))
+def compress_records(records, cap: int):
+    """Sparse-compress traceback row records for the device->host fetch.
+
+    A walked row's record is 1 (a single M step) on every error-free row
+    — the overwhelming majority — and 0 on unwalked/pad rows. Only the
+    exceptions (I steps, D runs, stop rows with D moves) carry
+    information, so the fetch ships (flat index, value) pairs for rows
+    with record not in {0, 1}; the host rebuilds the dense array with
+    default 1 (the decoder never reads unwalked rows, and a stop row's
+    default 1 decodes to d_stop = 0, which is exactly its meaning when
+    absent here). Returns (nnz (1,), idx (cap,), vals (cap,)); callers
+    must fall back to fetching `records` itself when nnz > cap."""
+    flat = records.reshape(-1)
+    interesting = (flat != 1) & (flat != 0)
+    nnz = jnp.sum(interesting.astype(jnp.int32))
+    pos = jnp.cumsum(interesting.astype(jnp.int32)) - 1
+    tgt = jnp.where(interesting, pos, cap)
+    idx = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(flat.shape[0], dtype=jnp.int32), mode='drop')
+    vals = jnp.zeros((cap,), jnp.int32).at[tgt].set(flat, mode='drop')
+    return nnz[None], idx, vals
+
+
 @functools.partial(
     jax.jit, static_argnames=('scoring', 'config', 'W', 'interpret'))
-def tape_with_traceback(q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t,
+def tape_with_traceback(qf, r_flat, cbase, c0m, c_n, m_t, n_t,
                         r_base, seg_start, reset_slot, cap_slot, last_slot,
                         n_tasks, scoring, config, W,
                         interpret: bool = False):
     """Forward tape DP + chained on-device traceback in one jit."""
     score, end_i, end_j, moves, (c_rel, jr_rows) = tape_forward(
-        q_tape, flags, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
+        qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         seg_start, reset_slot, cap_slot, last_slot,
         scoring=scoring, config=config, W=W, need_moves=True,
         interpret=interpret)

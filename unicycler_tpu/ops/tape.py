@@ -14,7 +14,7 @@ the row axis of one kernel launch:
     Sorting bounds the intra-segment padding to the sorted spread.
   * each track owns a flat reference array: its tasks' windows laid out
     back to back, each padded with W sentinel bases on both sides.
-  * per-row metadata is ONE byte of flags (reset / capture / band drift /
+  * per-row metadata is ONE byte (query base + reset / capture / band
     active); everything else the kernel needs is reconstructed on device
     from tiny per-task arrays (segmented cumsums + gathers), so host->
     device traffic is ~2 bytes per DP row.
@@ -34,17 +34,21 @@ from .pallas_banded import BT, MAX_SHIFT
 SEG_ALIGN = 32        # segment row alignment == reference-window group size
 L_CAP = 131072        # max tape rows per launch (cellinfo HBM budget ~1 GB)
 
-# flags byte layout (per tape row)
-F_RESET = 1           # first row of a segment (DP row 1 of its task)
-F_CAPTURE = 2         # this row is the task's row n_act (capture H here)
-F_SI_SHIFT = 2        # bits 2-4: band drift si in 0..MAX_SHIFT
-F_ACTIVE = 32         # row index <= n_act (real DP row, not segment pad)
+# qf byte layout (per tape row): the query base and all row flags pack
+# into ONE uint8 so host->device traffic is 1 byte per (track, row) —
+# the upload is the dominant per-row cost on a tunnelled device.
+#   bits 0-2: q code (0-3 base, 4 N, 5 = Q_PAD = segment-pad row)
+#   bit  3:   reset (first row of a segment = DP row 1 of its task)
+#   bit  4:   capture (the task's row n_act: capture H here)
+#   bits 5-7: band drift si in 0..MAX_SHIFT
+F_RESET = 8
+F_CAPTURE = 16
+F_SI_SHIFT = 5
 
 
 class TapeLaunch(NamedTuple):
     """One kernel launch worth of tape. All arrays are host numpy."""
-    q_tape: np.ndarray       # (BT, L) int8
-    flags: np.ndarray        # (BT, L) uint8
+    qf: np.ndarray           # (BT, L) uint8 packed query+flags
     r_flat: np.ndarray       # (BT, M) int8
     # per-(track, task-in-track) int32 arrays, shape (BT, TT); -1 padded
     cbase: np.ndarray        # c[1] - si-cumsum offset: c_rel = S + cbase
@@ -104,8 +108,7 @@ def _build_one(tasks, chunk, L_real, W, build_corridor) -> TapeLaunch:
     L = _bucket_pow2(max(L_real, 512), 512)
     TT = _bucket_pow2(max(len(chunk), 8), 8)
 
-    q_tape = np.full((BT, L), Q_PAD, np.int8)
-    flags = np.zeros((BT, L), np.uint8)
+    qf = np.full((BT, L), Q_PAD, np.uint8)
     per = {name: np.full((BT, TT), -1, np.int32)
            for name in ('cbase', 'c0m', 'c_n', 'm_t', 'n_t', 'r_base',
                         'seg_start', 'reset_slot', 'cap_slot', 'last_slot',
@@ -133,16 +136,15 @@ def _build_one(tasks, chunk, L_real, W, build_corridor) -> TapeLaunch:
             r_flat[tr, base + W:base + W + m_act] = t.r
             r_cursor[tr] += m_act + 2 * W
 
-            q_tape[tr, row:row + n_act] = t.q
             # si includes the reset row's c[1]-c[0] drift: the kernel
             # swaps in h0 (built at c[0] alignment) and THEN realigns by
             # si, matching the bucketed kernel's row-1 semantics.
             si = np.diff(c).astype(np.uint8)       # <= MAX_SHIFT by corridor
-            f = (si << F_SI_SHIFT) | F_ACTIVE
+            f = (si << F_SI_SHIFT) | t.q.astype(np.uint8)
             f[0] |= F_RESET
             f[-1] |= F_CAPTURE
-            flags[tr, row:row + n_act] = f
-            # segment pad rows: keep si=0, active=0 (flags already 0)
+            qf[tr, row:row + n_act] = f
+            # segment pad rows: si=0, q=Q_PAD (qf already Q_PAD)
 
             kk = n_tasks[tr]
             per['cbase'][tr, kk] = int(c[1])       # si-cumsum starts at 0
@@ -163,10 +165,10 @@ def _build_one(tasks, chunk, L_real, W, build_corridor) -> TapeLaunch:
     # each task's base so c_rel = cumsum(si)[row] + cbase[task] lands on
     # the true c values despite earlier segments' drift accumulating.
     for tr in range(BT):
-        s_cum = np.cumsum((flags[tr] >> F_SI_SHIFT) & 7)
+        s_cum = np.cumsum((qf[tr] >> F_SI_SHIFT) & 7)
         for kk in range(n_tasks[tr]):
             r0 = per['seg_start'][tr, kk]
             per['cbase'][tr, kk] -= int(s_cum[r0])
 
-    return TapeLaunch(q_tape=q_tape, flags=flags, r_flat=r_flat,
+    return TapeLaunch(qf=qf, r_flat=r_flat,
                       n_tasks=n_tasks, L=L, L_real=row, TT=TT, **per)

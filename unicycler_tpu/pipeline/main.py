@@ -197,6 +197,19 @@ def get_arguments(args=None):
                                 'bridging step'))
 
     parsed = parser.parse_args(args)
+    # 'lambda' keyword -> bundled lambda-phage screen, like the
+    # reference's shortcut (ref unicycler_align.py:69-86)
+    if getattr(parsed, 'contamination', None) == 'lambda':
+        lam = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'gene_data', 'lambda_phage.fasta')
+        if not os.path.exists(lam):
+            from ..misc import quit_with_error
+            quit_with_error(
+                '--contamination lambda requires a lambda-phage genome at '
+                + lam + ' (drop in NCBI NC_001416, or pass a FASTA path '
+                'directly — this build cannot bundle the 48.5 kb sequence; '
+                'see gene_data/README.md)')
+        parsed.contamination = lam
     for attr in ('short1', 'short2', 'unpaired', 'long', 'out',
                  'contamination', 'start_genes', 'short_read_graph',
                  'existing_long_read_assembly'):

@@ -2,16 +2,20 @@
 
 Replaces the reference's makeblastdb/tblastn subprocesses
 (ref unicycler/blast_func.py:27-134 and the rotation driver
-unicycler.py:753-806) with an in-framework translated search: the replicon
-is translated in all six frames and the protein start-gene queries
-(dnaA/repA) are aligned against the translations with the device DP —
-no external binaries at all (SURVEY.md §7.9).
+unicycler.py:753-806) with an in-framework translated search: the
+replicon is translated in all six frames and the protein start-gene
+queries (dnaA/repA) are found with a seeded BLOSUM62 glocal aligner
+(pipeline/protein_search.py) — tblastn's scoring model, no external
+binaries at all (SURVEY.md §7.9).
 
-Identity-based protein scoring stands in for BLOSUM: start-gene hits must
-clear high identity/coverage thresholds (defaults 90%/95%), where identity
-scoring and BLOSUM agree.
+Rotation is ON by default like the reference: a DnaA start-gene
+database ships in gene_data/ (see gene_data/README.md), and replicons
+with no gene hit are rotated to a deterministic canonical position
+(lexicographically minimal rotation over both strands) so default runs
+produce stable, comparable output.
 """
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -19,8 +23,10 @@ import numpy as np
 from .. import log
 from ..io.fastx import load_fasta
 from ..misc import reverse_complement
-from ..ops import dispatch
-from ..ops import pairwise as pw
+
+BUNDLED_START_GENES = os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))),
+    'gene_data', 'start_genes.fasta')
 
 
 class CannotFindStart(Exception):
@@ -63,18 +69,15 @@ def encode_protein(seq: str) -> np.ndarray:
                     dtype=np.int8)
 
 
-# Protein identity scoring: strong match reward, affine gaps.
-_PROTEIN_SCORING = pw.Scoring(3, -6, -5, -2)
-
-
 def find_start_gene(sequence, start_genes_fasta, identity_threshold,
                     coverage_threshold, blast_dir=None, makeblastdb_path=None,
                     tblastn_path=None):
     """Find the best start-gene hit in a circular sequence
     (semantics of ref blast_func.py:27-98: the sequence start is
-    duplicated to handle genes spanning the origin; the winning hit must
-    begin at the gene's first residue)."""
-    # Duplicate the sequence start to handle wrap-around genes.
+    duplicated to handle genes spanning the origin, and the replicon is
+    rotated to the position where the gene's first residue aligns).
+    Scoring is a real BLOSUM62 translated search."""
+    from .protein_search import encode_aa, search_protein
     seq_len = len(sequence)
     dup_length = min(seq_len, 10000)
     queryable = sequence + sequence[:dup_length]
@@ -88,76 +91,74 @@ def find_start_gene(sequence, start_genes_fasta, identity_threshold,
     for offset in range(3):
         frames.append((offset, False, translate(queryable[offset:])))
         frames.append((offset, True, translate(rc[offset:])))
-
-    gene_codes = [(name, encode_protein(seq)) for name, seq in genes]
-    frame_codes = [encode_protein(p) for _, _, p in frames]
-
-    q_list, r_list, meta = [], [], []
-    for gene_name, g_codes in gene_codes:
-        for f_idx, f_codes in enumerate(frame_codes):
-            if len(f_codes) == 0 or len(g_codes) == 0:
-                continue
-            q_list.append(g_codes)
-            r_list.append(f_codes)
-            meta.append((gene_name, f_idx))
-
-    results = dispatch.batch_align(q_list, r_list, _PROTEIN_SCORING,
-                                   pw.SEMI_GLOBAL, band=100,
-                                   need_cigar=True)
+    frame_codes = [encode_aa(p) for _, _, p in frames]
 
     best = None
-    for (gene_name, f_idx), pa in zip(meta, results):
-        if pa is None or not pa.cigar:
+    for gene_name, gene_seq in genes:
+        g_codes = encode_aa(gene_seq)
+        if not len(g_codes):
             continue
-        gene_len = pa.s1_len
-        # the hit must start at the first residue of the gene
-        # (ref blast_func.py:93-98: qstart == 0)
-        if pa.s1_start != 0:
-            continue
-        gene_seq = dict(genes)[gene_name]
-        frame_prot = frames[f_idx][2]
-        gi, fi = pa.s1_start, pa.s2_start
-        matches = 0
-        align_len = sum(count for count, _ in pa.cigar)
-        for count, op in pa.cigar:
-            if op == 'M':
-                for k in range(count):
-                    if gi + k < len(gene_seq) and fi + k < len(frame_prot) \
-                            and gene_seq[gi + k] == frame_prot[fi + k]:
-                        matches += 1
-                gi += count
-                fi += count
-            elif op == 'I':
-                gi += count
-            else:
-                fi += count
-        if align_len == 0:
-            continue
-        pident = 100.0 * matches / align_len
-        query_cov = 100.0 * (pa.s1_end - pa.s1_start) / gene_len
-        if pident < identity_threshold or query_cov < coverage_threshold:
-            continue
-        score = matches
-        if best is None or score > best[0]:
-            best = (score, gene_name, f_idx, pa, pident, query_cov)
+        for f_idx, f_codes in enumerate(frame_codes):
+            if not len(f_codes):
+                continue
+            hit = search_protein(g_codes, f_codes)
+            if hit is None:
+                continue
+            if hit.identity < identity_threshold \
+                    or hit.coverage < coverage_threshold:
+                continue
+            if best is None or hit.score > best[0].score:
+                best = (hit, gene_name, f_idx)
 
     if best is None:
         raise CannotFindStart
 
-    _, gene_name, f_idx, pa, pident, query_cov = best
+    hit, gene_name, f_idx = best
     frame_offset, is_reverse, _ = frames[f_idx]
-    protein_start = pa.s2_start
-    nuc_pos = frame_offset + 3 * protein_start   # position in queryable/rc
+    nuc_pos = frame_offset + 3 * hit.window_start  # in queryable/rc coords
     if not is_reverse:
         start_pos = nuc_pos % seq_len
         flip = False
     else:
-        # position on the forward strand of the (duplicated) sequence
         forward_pos = len(queryable) - nuc_pos
         start_pos = forward_pos % seq_len
         flip = True
     return BlastHit(qseqid=gene_name, start_pos=start_pos, flip=flip,
-                    pident=pident, query_cov=query_cov)
+                    pident=hit.identity, query_cov=hit.coverage)
+
+
+def canonical_rotation(sequence):
+    """(start_pos, flip) of the lexicographically minimal rotation over
+    both strands — a deterministic start for replicons with no gene hit
+    (Booth's algorithm on the doubled string)."""
+    def least_rotation(s):
+        s2 = s + s
+        f = [-1] * len(s2)
+        k = 0
+        for j in range(1, len(s2)):
+            sj = s2[j]
+            i = f[j - k - 1]
+            while i != -1 and sj != s2[k + i + 1]:
+                if sj < s2[k + i + 1]:
+                    k = j - i - 1
+                i = f[i]
+            if sj != s2[k + i + 1]:
+                if sj < s2[k]:
+                    k = j
+                f[j - k] = -1
+            else:
+                f[j - k] = i + 1
+        return k
+    fwd = least_rotation(sequence)
+    rc = reverse_complement(sequence)
+    rev = least_rotation(rc)
+    fwd_rot = sequence[fwd:] + sequence[:fwd]
+    rev_rot = rc[rev:] + rc[:rev]
+    if fwd_rot <= rev_rot:
+        return fwd, False
+    # start_pos is given on the forward strand; segment.rotate_sequence
+    # flips after rotating, so convert the reverse-strand offset
+    return (len(sequence) - rev) % len(sequence), True
 
 
 def rotate_completed_replicons(graph, args, counter):
@@ -167,10 +168,11 @@ def rotate_completed_replicons(graph, args, counter):
     if not completed_replicons:
         return
     log.log_section_header('Rotating completed replicons')
-    if not args.start_genes:
-        log.log('No start-gene database given (--start_genes); skipping '
-                'rotation search.')
-        return
+    start_genes = args.start_genes
+    if not start_genes and os.path.exists(BUNDLED_START_GENES):
+        start_genes = BUNDLED_START_GENES
+        log.log('Using bundled start-gene database '
+                '(gene_data/start_genes.fasta)', 2)
     completed_replicons = sorted(
         completed_replicons, reverse=True,
         key=lambda x: graph.segments[x].get_length())
@@ -182,10 +184,18 @@ def rotate_completed_replicons(graph, args, counter):
         except AttributeError:
             seg_name = segment.full_name
         try:
-            hit = find_start_gene(sequence, args.start_genes,
+            if not start_genes:
+                raise CannotFindStart
+            hit = find_start_gene(sequence, start_genes,
                                   args.start_gene_id, args.start_gene_cov)
         except CannotFindStart:
-            log.log('  segment %s: no start gene found' % seg_name, 2)
+            # deterministic canonical start so default runs are stable
+            start_pos, flip = canonical_rotation(sequence)
+            log.log('  segment %s: no start gene found; canonical '
+                    'rotation to %d (%s)' %
+                    (seg_name, start_pos,
+                     'reverse' if flip else 'forward'), 2)
+            segment.rotate_sequence(start_pos, flip)
             continue
         log.log('  segment %s: %s at %d (%s)' %
                 (seg_name, hit.qseqid, hit.start_pos,
