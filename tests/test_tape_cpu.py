@@ -153,3 +153,20 @@ def test_tape_empty_and_degenerate_tasks():
                             interpret=True)
     assert got[0].score > 0
     assert got[1].score == 0 and got[1].cigar == []
+
+
+def test_tape_wide_band_rolled_kernel():
+    """Wide bands (path-finding/consensus tasks reach W >= 2176) route
+    through the rolled kernel body — the unrolled group body would
+    overflow Mosaic's scoped-VMEM stack (pallas_tape.UNROLL_MAX_GWP).
+    Results must stay exact."""
+    rng = np.random.default_rng(31)
+    scoring = Scoring(3, -6, -5, -2)
+    tasks = _tasks(rng, [60, 150, 400])
+    for config in (SEMI_GLOBAL, PATH_CONFIG):
+        want = align_banded(tasks, scoring, config=config, band=40)
+        got = align_banded_tape(tasks, scoring, config, 2176, True,
+                                interpret=True)
+        for g, w in zip(got, want):
+            assert g.score == w.score
+            assert g.cigar == w.cigar

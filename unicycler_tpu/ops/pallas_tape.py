@@ -90,6 +90,13 @@ def _lane_scalar(plane, lane_iota128, idx):
                    keepdims=True)
 
 
+# Widest region (lanes) for the fully-unrolled group body: beyond this
+# the unrolled body's live (BT, GWp) temporaries overflow Mosaic's 16 MB
+# scoped-VMEM stack (observed at GWp=2304: 32.35M requested), so wide
+# bands take the rolled body instead.
+UNROLL_MAX_GWP = 1024
+
+
 def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
                       need_moves: bool):
     match_s, mismatch = int(scoring.match), int(scoring.mismatch)
@@ -251,6 +258,159 @@ def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
     return kernel
 
 
+def _make_tape_kernel_rolled(T, W, GWp, scoring: Scoring,
+                             config: AlignConfig, need_moves: bool):
+    """Row-at-a-time variant for wide bands (GWp > UNROLL_MAX_GWP): the
+    fully-unrolled group body would overflow Mosaic's scoped-VMEM stack
+    with live (BT, GWp) temporaries. Same math, same outputs; group
+    state lives in scratch and the prologue runs under pl.when."""
+    match_s, mismatch = int(scoring.match), int(scoring.mismatch)
+    open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
+
+    def kernel(sc_ref, reg_ref, *out_and_scratch):
+        if need_moves:
+            (moves_ref, hatn_ref, best_ref,
+             h_scr, f_scr, reg_scr, grp_scr,
+             bestv_scr, besti_scr, hatn_scr) = out_and_scratch
+        else:
+            (hatn_ref, best_ref,
+             h_scr, f_scr, reg_scr, grp_scr,
+             bestv_scr, besti_scr, hatn_scr) = out_and_scratch
+            moves_ref = None
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, GWp), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        out_lane = lane128
+
+        def boundary_row(j, m_g, c0):
+            if config.free_start_s2:
+                h0 = jnp.where(j >= 0, 0, NEG)
+            else:
+                h0 = jnp.where(j > 0, open_ + (j - 1) * ext,
+                               jnp.where(j == 0, 0, NEG))
+            return jnp.where((j <= m_g) & (j >= c0) & (j < c0 + W),
+                             h0, NEG)
+
+        def row_body(t, _):
+            g_local = t // G
+            r_in_g = t - g_local * G
+
+            @pl.when(r_in_g == 0)
+            def _group_prologue():
+                grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(BT, 128)
+                grp_scr[:, :] = grp
+                reg_scr[:, :] = reg_ref[pl.ds(g_local, 1), :, :] \
+                    .reshape(BT, GWp).astype(jnp.int32)
+                jr = _lane_scalar(grp, lane128, _L_JR)
+                m_g = _lane_scalar(grp, lane128, _L_M)
+                adv = _lane_scalar(grp, lane128, _L_ADV)
+                rst = _lane_scalar(grp, lane128, _L_RST)
+                c0 = _lane_scalar(grp, lane128, _L_C0)
+                h = h_scr[:, :]
+                f = f_scr[:, :]
+                for b in range(8):
+                    s = 1 << b
+                    bit = ((adv >> b) & 1) == 1
+                    h = jnp.where(bit, pltpu.roll(h, (GWp - s) % GWp, 1), h)
+                    f = jnp.where(bit, pltpu.roll(f, (GWp - s) % GWp, 1), f)
+                tail = lane >= (GWp - adv)
+                h = jnp.where(tail, NEG, h)
+                f = jnp.where(tail, NEG, f)
+                h0g = boundary_row(jr + lane, m_g, c0)
+                rst_b = rst == 1
+                h_scr[:, :] = jnp.where(rst_b, h0g, h)
+                f_scr[:, :] = jnp.where(rst_b, NEG, f)
+                bestv_scr[:, :] = jnp.where(rst_b, NEG, bestv_scr[:, :])
+                besti_scr[:, :] = jnp.where(rst_b, 0, besti_scr[:, :])
+
+            grp = grp_scr[:, :]
+            jr = _lane_scalar(grp, lane128, _L_JR)
+            m_g = _lane_scalar(grp, lane128, _L_M)
+            lb = _lane_scalar(grp, lane128, _L_LB)
+            rst = _lane_scalar(grp, lane128, _L_RST)
+            c0 = _lane_scalar(grp, lane128, _L_C0)
+
+            rowv = _lane_scalar(grp, lane128, r_in_g)
+            d = rowv & 255
+            is_capture = ((rowv >> 8) & 1) == 1
+            active = ((rowv >> 9) & 1) == 1
+            qv = (rowv >> 16) & 255
+            local_i = lb + r_in_g
+
+            j = jr + lane
+            m_col = jnp.where(active, m_g, -1)
+            vb = (lane >= d) & (lane < d + W)
+            valid_ef = vb & (j >= 1) & (j <= m_col)
+            is_col0 = vb & (j == 0) & (m_col >= 0)
+            valid_h = vb & (j >= 0) & (j <= m_col)
+            is_lastcol = vb & (j == m_col)
+            is_match = reg_scr[:, :] == qv
+
+            h_prev = h_scr[:, :]
+            f_prev = f_scr[:, :]
+
+            f_open = h_prev + open_
+            f_ext_v = f_prev + ext
+            f = jnp.maximum(f_open, f_ext_v)
+            f_ext_bit = (f == f_ext_v) & (f_prev > NEG // 2)
+
+            sub = jnp.where(is_match, match_s, mismatch)
+            h_diag = _shift_right_one(h_prev)
+            h0m1 = boundary_row(jr - 1, m_g, c0)
+            is_reset_row = (r_in_g == 0) & (rst == 1)
+            h_diag = jnp.where(is_reset_row & (lane == 0), h0m1, h_diag)
+            diag = jnp.where(valid_ef, h_diag + sub, NEG)
+            if config.free_start_s1:
+                col0_val = jnp.zeros_like(diag)
+            else:
+                col0_val = jnp.int32(open_) + (local_i - 1) * jnp.int32(ext)
+            diag = jnp.where(is_col0, col0_val, diag)
+
+            g = jnp.maximum(diag, jnp.where(valid_ef, f, NEG))
+
+            cvec = g + open_ - (lane + 1) * ext
+            cmax = _prefix_cummax(cvec)
+            e = _shift_right_one(cmax) + lane * ext
+            e = jnp.where(valid_ef & (e > NEG // 2), e, NEG)
+
+            h = jnp.maximum(g, e)
+            h = jnp.where(valid_h, h, NEG)
+
+            e_prev = _shift_right_one(e)
+            e_ext_bit = (e == e_prev + ext) & (e_prev > NEG // 2)
+
+            if need_moves:
+                hsrc = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
+                moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
+                          | jnp.where(f_ext_bit, 8, 0))
+                moves_ref[:, pl.ds(t, 1), :] = \
+                    pack_moves_rows_kernel(moves4)[:, None, :]
+
+            lc_val = jnp.max(jnp.where(is_lastcol, h, NEG), axis=1,
+                             keepdims=True)
+            bv = bestv_scr[:, :]
+            bi = besti_scr[:, :]
+            better = lc_val > bv
+            bv = jnp.where(better, lc_val, bv)
+            bi = jnp.where(better, local_i, bi)
+            bestv_scr[:, :] = bv
+            besti_scr[:, :] = bi
+
+            hatn = jnp.where(is_capture, h, hatn_scr[:, :])
+            hatn_scr[:, :] = hatn
+            hatn_ref[pl.ds(g_local, 1), :, :] = hatn[None, :, :]
+            best_ref[pl.ds(g_local, 1), :, :] = jnp.where(
+                out_lane == 0, bv, jnp.where(out_lane == 1, bi, 0)
+            )[None, :, :]
+
+            h_scr[:, :] = h
+            f_scr[:, :] = f
+            return 0
+
+        jax.lax.fori_loop(0, T, row_body, 0)
+
+    return kernel
+
+
 def _boundary_vals(j, m, scoring, config):
     """H(0, j) boundary values, NEG outside [0, m]."""
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
@@ -346,7 +506,28 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         return (zz, zz, zz, jnp.zeros((BT, 1, 1), jnp.int32),
                 (jnp.zeros((BT, L), jnp.int32), jr_rows))
 
-    kernel = _make_tape_kernel(T, W, GWp, scoring, config, need_moves)
+    unrolled = GWp <= UNROLL_MAX_GWP
+    if unrolled:
+        kernel = _make_tape_kernel(T, W, GWp, scoring, config, need_moves)
+        scratch = [
+            pltpu.VMEM((BT, GWp), jnp.int32),    # H carry
+            pltpu.VMEM((BT, GWp), jnp.int32),    # F carry
+            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol value
+            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol local row
+            pltpu.VMEM((BT, GWp), jnp.int32),    # captured H at n_act
+        ]
+    else:
+        kernel = _make_tape_kernel_rolled(T, W, GWp, scoring, config,
+                                          need_moves)
+        scratch = [
+            pltpu.VMEM((BT, GWp), jnp.int32),    # H carry
+            pltpu.VMEM((BT, GWp), jnp.int32),    # F carry
+            pltpu.VMEM((BT, GWp), jnp.int32),    # region (int32)
+            pltpu.VMEM((BT, 128), jnp.int32),    # group plane
+            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol value
+            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol local row
+            pltpu.VMEM((BT, GWp), jnp.int32),    # captured H at n_act
+        ]
     out_specs, out_shape = [], []
     if need_moves:
         # moves are written track-major (BT, L, w8r) with a dynamic
@@ -377,13 +558,7 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((BT, GWp), jnp.int32),    # H carry
-            pltpu.VMEM((BT, GWp), jnp.int32),    # F carry
-            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol value
-            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol local row
-            pltpu.VMEM((BT, GWp), jnp.int32),    # captured H at n_act
-        ],
+        scratch_shapes=scratch,
     )(sc_grp, regions)
     if need_moves:
         moves, hatn_slots, best_slots = outs         # (BT, L, w8r)
