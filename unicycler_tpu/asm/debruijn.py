@@ -16,9 +16,10 @@ in-framework assembler (SURVEY.md §7.10). This module implements:
   * insert-size estimation from read-pair placements on unitigs
 
 Output is an AssemblyGraph-compatible GFA (S lines with dp: depths,
-L lines with (k-1)M overlaps). SPAdes' paired-end repeat-resolution paths
-(contigs.paths) are not yet reproduced — the paths dict stays empty, which
-disables SPAdes-contig and loop-unrolling bridges but no other stage.
+L lines with (k-1)M overlaps, P lines carrying the paired-end resolved
+paths from resolve_paths_with_pairs — the contigs.paths role that feeds
+SpadesContigBridge and loop unrolling). Reads pass through the
+k-mer-spectrum corrector (asm/correct.py) first unless --no_correct.
 """
 
 import os
@@ -558,11 +559,19 @@ def build_best_short_read_graph(args):
     return graph
 
 
-def pop_graph_bubbles(graph, max_length_diff=0.1):
+def pop_graph_bubbles(graph, max_length_diff=0.1, max_depth_ratio=0.3):
     """Pop simple 2-way bubbles: two segments sharing the same upstream
     and downstream neighbours with similar lengths — keep the deeper one
-    and add its depth to the survivor (the role of SPAdes' bulge removal,
-    which the reference gets for free from the SPAdes subprocess)."""
+    and add the popped depth to the survivor (the role of SPAdes' bulge
+    removal, which the reference gets for free from the SPAdes
+    subprocess).
+
+    Only ERROR bulges pop: the minority side must be far shallower than
+    the keeper (max_depth_ratio, SPAdes-style). Genuine repeat-variant
+    pairs — e.g. an IS element whose copies on two plasmids differ by a
+    few SNPs — form the same bubble shape at comparable depths, and
+    popping them overwrites one replicon's variant with the other's
+    (observed on sample_data plasmid E before this gate existed)."""
     from collections import defaultdict
     while True:
         by_ends = defaultdict(list)
@@ -581,7 +590,9 @@ def pop_graph_bubbles(graph, max_length_diff=0.1):
                 other_seg = graph.segments[other]
                 longer = max(keeper.get_length(), other_seg.get_length())
                 if abs(keeper.get_length() - other_seg.get_length()) \
-                        <= max_length_diff * longer:
+                        <= max_length_diff * longer \
+                        and other_seg.depth \
+                        <= max_depth_ratio * keeper.depth:
                     keeper.depth += other_seg.depth
                     graph.remove_segments([other])
                     removed = True

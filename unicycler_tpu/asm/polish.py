@@ -169,3 +169,46 @@ def polish_unitigs(unitig_graph, reads, scoring_scheme, hybrid):
                 segment.depth = best_depths[name]
         unitig_graph.normalise_read_depths()
     return unitig_graph
+
+
+def final_short_read_polish(graph, short_read_files, scoring_scheme,
+                            rounds=2):
+    """Short-read polish of the FINAL assembly graph (the Pilon role in
+    older Unicycler releases): bridge sequences built from long-read
+    consensus carry ~0.5-2% error patches, and one round of short-read
+    column voting removes them. Runs after bridging/merging, before
+    rotation. Mutates segment sequences in place; returns the number of
+    changed segments."""
+    from ..io.fastx import load_long_reads
+    from ..misc import reverse_complement
+
+    reads = []
+    for path in short_read_files:
+        if not path:
+            continue
+        d, names, _ = load_long_reads(path, silent=True)
+        reads.extend(d[n] for n in names)
+    if not reads or not graph.segments:
+        return 0
+
+    log.log_section_header('Polishing assembly with short reads')
+    scoring = scoring_scheme.to_ops()
+    total_changed = 0
+    for round_num in range(1, rounds + 1):
+        polished, quality, _ = polish_round(graph, reads, scoring)
+        changed = 0
+        for name, seq in polished.items():
+            segment = graph.segments[name]
+            if seq and seq != segment.forward_sequence:
+                segment.forward_sequence = seq
+                segment.reverse_sequence = reverse_complement(seq)
+                if hasattr(segment, '_codes'):
+                    segment._codes = None
+                changed += 1
+        log.log('round %d: %d/%d segments changed (mapping quality '
+                '%.1f)' % (round_num, changed, len(graph.segments),
+                           quality))
+        total_changed += changed
+        if changed == 0:
+            break
+    return total_changed

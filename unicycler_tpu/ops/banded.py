@@ -401,12 +401,20 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     from .encode import bucket_length, pad_to, Q_PAD
     W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
     from ..parallel.mesh import get_default_mesh
-    if jax.devices()[0].platform != 'cpu':
-        mesh = get_default_mesh()
-        if mesh is not None and mesh.devices.size > 1:
-            return align_banded_multi(tasks, scoring, config, W,
-                                      need_cigar,
-                                      list(mesh.devices.flat))
+    on_cpu = jax.devices()[0].platform == 'cpu'
+    mesh = get_default_mesh()
+    # On CPU the mesh path runs only when forced (the multichip dryrun
+    # sets UNICYCLER_TPU_FORCE_MESH=1 so the WHOLE pipeline exercises
+    # per-device tape launches on the virtual mesh, interpret-mode
+    # kernels); real TPU backends always honor an installed mesh.
+    import os as _os
+    force_mesh = _os.environ.get('UNICYCLER_TPU_FORCE_MESH') == '1'
+    if mesh is not None and mesh.devices.size > 1 \
+            and (not on_cpu or force_mesh):
+        return align_banded_multi(tasks, scoring, config, W, need_cigar,
+                                  list(mesh.devices.flat),
+                                  interpret=on_cpu)
+    if not on_cpu:
         return align_banded_tape(tasks, scoring, config, W, need_cigar)
     results: List[PairAlignment] = [None] * len(tasks)
     # bucket by (n_pad, m_pad)

@@ -334,6 +334,14 @@ def main(arg_list=None):
                                        'final_clean'))
         log.log('')
         graph.print_component_table()
+        # Bridge sequences built from long-read consensus carry error
+        # patches; a short-read polish pass removes them (the Pilon
+        # role of older reference releases).
+        if bridges and (args.short1 or args.short2):
+            from ..asm.polish import final_short_read_polish
+            with trace.span('final_polish'):
+                final_short_read_polish(
+                    graph, [args.short1, args.short2], scoring_scheme)
     else:
         graph = string_graph
 
