@@ -70,3 +70,37 @@ class TestSimpleAssembly:
         score_big = debruijn.score_graph(u_big, l_big, 63)
         score_small = debruijn.score_graph(u_small, l_small, 21)
         assert score_big >= score_small
+
+
+class TestPairedEndResolution:
+    def test_insert_scored_paths_cross_repeat(self):
+        """exSPAnder-style resolution: a repeat shorter than the pair inner gap
+        size must be crossed by a resolved path whose junction choice is
+        driven by insert-consistent pairs from the flanking anchors
+        (role of SPAdes' contigs.paths, consumed by
+        ref bridge_spades_contig.py:122-205)."""
+        repeat = rand_genome(80, 11)
+        a = rand_genome(2500, 12)
+        b = rand_genome(1800, 13)
+        genome = a + repeat + b + repeat
+        pairs_1, pairs_2 = make_fake_short_reads(genome)
+        p1 = [encode_sequence(seq) for _, seq, _ in pairs_1]
+        p2 = [encode_sequence(seq) for _, seq, _ in pairs_2]
+        reads = p1 + p2
+        k = 63
+        unitigs, links = debruijn.assemble_short_reads(reads, k)
+        insert_mean, insert_dev = debruijn.estimate_insert_size(
+            p1, p2, unitigs, k)
+        assert 250 <= insert_mean <= 350, insert_mean
+        paths = debruijn.resolve_paths_with_pairs(
+            unitigs, links, p1, p2, k, insert_mean, insert_dev)
+        assert paths
+        # the repeat unitig is the short one; a resolved path must pass
+        # THROUGH it (anchor -> repeat -> anchor)
+        rep_idx = min(range(len(unitigs)),
+                      key=lambda i: abs(len(unitigs[i][0]) - (80 + k - 1)))
+        rep_num = rep_idx + 1
+        through = [p for p in paths
+                   if any(abs(x) == rep_num for x in p[1:-1])]
+        assert through, (paths, rep_num,
+                         [len(s) for s, _ in unitigs])

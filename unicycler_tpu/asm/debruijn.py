@@ -335,21 +335,31 @@ def save_graph_gfa(unitigs, links, k, filename, paths=None):
 
 
 def resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
+                             insert_mean=250.0, insert_dev=50.0,
                              max_pairs=20000):
     """Paired-end repeat resolution: produce contigs.paths-style records.
 
     The role of SPAdes' exSPAnder stage (whose contigs.paths output feeds
-    SpadesContigBridge, ref bridge_spades_contig.py): read pairs mapping
-    to two different unitigs vote for signed adjacencies, and paths are
-    grown from each unitig through junctions wherever the votes
-    disambiguate the branch by a clear majority."""
+    SpadesContigBridge, ref bridge_spades_contig.py). Pairs are placed on
+    unitigs WITH positions; a growing path is extended through a junction
+    when the pairs connecting the path's recent elements to one candidate
+    — at gap distances consistent with the insert-size distribution —
+    outweigh every other candidate decisively. Looking back past the
+    junction (not just at the last unitig, which at a repeat is shared
+    between contexts) is what lets an anchor on one side of a short
+    repeat choose the correct anchor on the other side."""
     from ..ops.minimizer import MinimizerIndex
     if not pairs_1 or not pairs_2 or not links:
         return []
     unitig_codes = [encode_sequence(seq) for seq, _ in unitigs]
+    lengths = [len(seq) for seq, _ in unitigs]
     index = MinimizerIndex(unitig_codes, k=15, w=5)
 
-    votes = defaultdict(int)
+    # votes[(signed_a, signed_b)] = list of gap estimates: the implied
+    # distance between the END of oriented unitig a and the START of
+    # oriented unitig b, from one read pair (mate 1 forward on the
+    # fragment, mate 2 reverse).
+    votes = defaultdict(list)
     step = max(1, len(pairs_1) // max_pairs)
     for c1, c2 in zip(pairs_1[::step], pairs_2[::step]):
         h1 = index.lookup(c1, min_hits=2)
@@ -359,26 +369,56 @@ def resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
         a, b = h1[0], h2[0]
         if a.ref_id == b.ref_id:
             continue
-        # mate 1 reads the fragment forward; mate 2 reads it reverse.
         signed_a = (a.ref_id + 1) * (-1 if a.rev_comp else 1)
         signed_b = (b.ref_id + 1) * (1 if b.rev_comp else -1)
-        votes[(signed_a, signed_b)] += 1
-        votes[(-signed_b, -signed_a)] += 1
+        # distance from mate-1's position to the oriented end of a, and
+        # from b's oriented start to mate-2's fragment-forward start
+        la, lb = lengths[a.ref_id], lengths[b.ref_id]
+        tail_a = (la - a.ref_start) if not a.rev_comp else a.ref_end
+        head_b = b.ref_start if b.rev_comp else (lb - b.ref_end)
+        gap = insert_mean - tail_a - head_b \
+            - (b.read_end - b.read_start)
+        votes[(signed_a, signed_b)].append(gap)
+        votes[(-signed_b, -signed_a)].append(gap)
 
     forward = defaultdict(list)
     for a, b in links:
         forward[a].append(b)
+
+    window = insert_mean + 4 * insert_dev
+
+    def pair_score(path, cand):
+        """Insert-consistent pair support for extending `path` by
+        `cand`: pairs from path elements whose distance-to-end leaves
+        the pair's gap estimate within ~4 sigma."""
+        score = 0.0
+        # distance from this element's oriented end to the CANDIDATE's
+        # oriented start: the candidate starts k-1 bases before the path
+        # end (GFA overlap), and each later element adds len - (k-1)
+        dist_to_end = -(k - 1.0)
+        for el in reversed(path):
+            gaps = votes.get((el, cand))
+            if gaps:
+                for gap in gaps:
+                    # the element sits dist_to_end before the junction;
+                    # consistent pairs have gap ~ dist_to_end
+                    if abs(gap - dist_to_end) <= 4 * insert_dev + 50:
+                        score += 1.0
+            dist_to_end += max(1, lengths[abs(el) - 1] - (k - 1))
+            if dist_to_end > window:
+                break
+        return score
 
     def pick_next(current, path):
         candidates = forward.get(current, [])
         if len(candidates) == 1:
             nxt = candidates[0]
         elif len(candidates) > 1:
-            scored = sorted(((votes.get((current, c), 0), c)
+            scored = sorted(((pair_score(path, c), c)
                              for c in candidates), reverse=True)
             best_votes, nxt = scored[0]
             second_votes = scored[1][0]
-            if best_votes < 3 or best_votes < 2 * max(1, second_votes):
+            if best_votes < 3 or best_votes < 2 * max(1.0, second_votes):
                 return None
         else:
             return None
@@ -442,7 +482,13 @@ def estimate_insert_size(read_codes_1, read_codes_2, unitigs, k):
         return 250.0, 50.0
     index = MinimizerIndex(long_unitigs, k=15, w=5)
     inserts = []
-    for c1, c2 in zip(read_codes_1[:2000], read_codes_2[:2000]):
+    # sample pairs EVENLY across the files (the head alone is biased on
+    # position-sorted or interleaved inputs)
+    n_pairs = min(len(read_codes_1), len(read_codes_2))
+    sel = np.unique(np.linspace(0, n_pairs - 1,
+                                min(2000, n_pairs)).astype(np.int64))
+    for si in sel:
+        c1, c2 = read_codes_1[si], read_codes_2[si]
         h1 = index.lookup(c1, min_hits=2)
         h2 = index.lookup(c2, min_hits=2)
         if len(h1) != 1 or len(h2) != 1:
@@ -548,7 +594,8 @@ def build_best_short_read_graph(args):
     _, k, unitigs, links = best
     insert_mean, insert_dev = estimate_insert_size(pairs_1, pairs_2,
                                                    unitigs, k)
-    paths = resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k)
+    paths = resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
+                                     insert_mean, insert_dev)
     log.log('  best k=%d; %d paired-end paths resolved' % (k, len(paths)))
     graph_file = gfa_path(args.out, 1, 'spades_graph')
     save_graph_gfa(unitigs, links, k, graph_file, paths)
