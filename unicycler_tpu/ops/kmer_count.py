@@ -31,13 +31,17 @@ def device_counting_enabled():
 
 
 @jax.jit
-def _sort_and_mark(kmers):
-    """Device sort + run boundaries. Returns (sorted keys, is_first,
-    run_id) — the segment-reduce layout: counts are the segment sizes."""
-    s = jnp.sort(kmers)
-    first = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+def _sort_and_mark(hi, lo):
+    """Device sort + run boundaries over 64-bit keys carried as two
+    uint32 words (jax defaults to 32-bit — a uint64 key would silently
+    truncate). lax.sort with num_keys=2 is lexicographic. Returns
+    (sorted hi, sorted lo, is_first, run_id)."""
+    sh, sl = jax.lax.sort((hi, lo), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones(1, bool),
+        (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
     run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-    return s, first, run_id
+    return sh, sl, first, run_id
 
 
 @functools.partial(jax.jit, static_argnames=('n_runs',))
@@ -52,15 +56,16 @@ def count_canonical_device(kmer_chunks, k):
     if not kmer_chunks:
         return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     allk = np.concatenate(kmer_chunks)
-    # TPU sorts int32 pairs faster than uint64 scalars; k <= 31 keys are
-    # 2k bits — sort as uint64 (XLA supports 64-bit sort keys on TPU
-    # via two-word decomposition internally).
-    s, first, run_id = _sort_and_mark(jnp.asarray(allk))
+    hi = (allk >> np.uint64(32)).astype(np.uint32)
+    lo = (allk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sh, sl, first, run_id = _sort_and_mark(jnp.asarray(hi),
+                                           jnp.asarray(lo))
     first_h = np.asarray(first)
     n_runs = int(first_h.sum())
     counts = np.asarray(_run_counts(run_id, n_runs))
-    uniq = np.asarray(s)[first_h]
-    return uniq.astype(np.uint64), counts.astype(np.int64)
+    uniq = (np.asarray(sh)[first_h].astype(np.uint64) << np.uint64(32)) \
+        | np.asarray(sl)[first_h].astype(np.uint64)
+    return uniq, counts.astype(np.int64)
 
 
 def count_spectrum(read_code_arrays, k):

@@ -730,7 +730,7 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
     B, L, w8r = moves.shape
     GWp = w8r * 8
     TT = end_abs.shape[1]
-    T = min(L, 512)
+    T = min(L, 256)         # tape lengths are multiples of 256
     n_chunks = L // T
     kernel = _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT)
     rec, fin = pl.pallas_call(

@@ -75,6 +75,18 @@ def _bucket_pow2(n, minimum):
     return b
 
 
+def _bucket_geom(n, minimum, quantum, ratio=1.25):
+    """Geometric size buckets (ratio ~1.25, rounded up to `quantum`):
+    power-of-two buckets waste up to 50% of the tape in pad rows that
+    the kernel EXECUTES and the host UPLOADS (measured 45% on the bench
+    fixtures); 1.25x steps cap the waste at ~20% for ~3x more compiled
+    shapes, which the persistent compile cache absorbs."""
+    b = float(minimum)
+    while b < n:
+        b *= ratio
+    return -(-int(b) // quantum) * quantum
+
+
 def build_tapes(tasks, W, build_corridor) -> List[TapeLaunch]:
     """Lay out `tasks` (ops.banded.BandedTask list) into tape launches.
     Tasks with empty q or r must be filtered by the caller."""
@@ -105,7 +117,9 @@ def build_tapes(tasks, W, build_corridor) -> List[TapeLaunch]:
 
 
 def _build_one(tasks, chunk, L_real, W, build_corridor) -> TapeLaunch:
-    L = _bucket_pow2(max(L_real, 512), 512)
+    # rows quantum: the largest chunk size _chunk_rows can pick, so any
+    # bucketed L divides evenly into grid chunks
+    L = _bucket_geom(max(L_real, 512), 512, 256)
     TT = _bucket_pow2(max(len(chunk), 8), 8)
 
     qf = np.full((BT, L), Q_PAD, np.uint8)
@@ -121,7 +135,7 @@ def _build_one(tasks, chunk, L_real, W, build_corridor) -> TapeLaunch:
         for tr, ti in enumerate(seg):
             r_sizes[tr] += len(tasks[ti].r) + 2 * W
     GW = W + SEG_ALIGN * MAX_SHIFT
-    M = _bucket_pow2(int(r_sizes.max()) + GW + 1, 1024)
+    M = _bucket_geom(int(r_sizes.max()) + GW + 1, 1024, 512)
     r_flat = np.full((BT, M), R_PAD, np.int8)
 
     r_cursor = np.zeros(BT, np.int64)
