@@ -216,32 +216,68 @@ def align_reads_to_refs(reads, references, scoring_scheme,
         band = settings.BAND_SIZES[level]
         with trace.span('seed_index'):
             index = mz.get_cached_index(ref_codes, k, 10)
+        use_device = banded_ops.has_device_traceback()
         tasks: List[_Task] = []
-        with trace.span('seed_and_tasks'):
-            for read in reads:
-                if read.get_length() < min_align_length:
-                    continue
-                clusters = index.lookup(read.codes)
-                if debug_dir is not None:
-                    _dump_seed_debug(debug_dir, read, level, clusters)
-                max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
-                tasks.extend(_make_tasks(read, references,
-                                         clusters[:max_traces], band))
+        if use_device:
+            # Pipeline host seeding with device compute: seed a chunk of
+            # reads, dispatch its alignment batch (async — kernels queue
+            # on the device), then seed the next chunk while the device
+            # works. Collection happens after the last dispatch, so the
+            # host's seeding cost hides under device time.
+            max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
+            live_reads = [r for r in reads
+                          if r.get_length() >= min_align_length]
+            # Chunking trades tape-batching efficiency (fewer, fuller
+            # launches) for seeding/compute overlap — only worth it when
+            # each chunk still fills a large tape on its own.
+            total_bases = sum(r.get_length() for r in live_reads)
+            n_chunks = int(min(4, max(1, total_bases // 2_000_000)))
+            bounds = np.linspace(0, len(live_reads), n_chunks + 1,
+                                 dtype=int)
+            handles = []
+            for ci in range(n_chunks):
+                chunk_tasks: List[_Task] = []
+                with trace.span('seed_and_tasks'):
+                    for read in live_reads[bounds[ci]:bounds[ci + 1]]:
+                        clusters = index.lookup(read.codes)
+                        if debug_dir is not None:
+                            _dump_seed_debug(debug_dir, read, level,
+                                             clusters)
+                        chunk_tasks.extend(_make_tasks(
+                            read, references, clusters[:max_traces],
+                            band))
+                with trace.span('dispatch'):
+                    handles.append((chunk_tasks, banded_ops.align_banded_async(
+                        [t.banded for t in chunk_tasks], scoring,
+                        config=pw.SEMI_GLOBAL, band=band,
+                        need_cigar=True)))
+            results = []
+            with trace.span('traceback_pass'):
+                for chunk_tasks, handle in handles:
+                    tasks.extend(chunk_tasks)
+                    results.extend(handle.collect())
+        else:
+            with trace.span('seed_and_tasks'):
+                for read in reads:
+                    if read.get_length() < min_align_length:
+                        continue
+                    clusters = index.lookup(read.codes)
+                    if debug_dir is not None:
+                        _dump_seed_debug(debug_dir, read, level, clusters)
+                    max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
+                    tasks.extend(_make_tasks(read, references,
+                                             clusters[:max_traces], band))
         if not tasks:
             continue
         task_counts = {}
         for t in tasks:
             task_counts[id(t.read)] = task_counts.get(id(t.read), 0) + 1
-        if banded_ops.has_device_traceback():
+        if use_device:
             # Single full pass: with the on-device traceback the
             # per-task result is ~2 bytes/row, so aligning every
             # candidate WITH its CIGAR is cheaper than a score-only
             # prefilter + rerun (an extra dispatch/fetch round trip and
             # the winners' DP twice). Losers are filtered afterwards.
-            with trace.span('traceback_pass'):
-                results = banded_ops.align_banded(
-                    [t.banded for t in tasks], scoring,
-                    config=pw.SEMI_GLOBAL, band=band, need_cigar=True)
             keep = set(_select_winner_tasks(tasks, results))
             keep |= {i for i, t in enumerate(tasks)
                      if task_counts[id(t.read)] == 1}

@@ -683,6 +683,71 @@ def align_banded_tape(tasks, scoring, config, W, need_cigar,
     return results
 
 
+class _AsyncAlign(object):
+    """Handle for an in-flight align_banded dispatch (tape path):
+    the kernels are queued on the device; .collect() fetches, decodes,
+    and runs band-escape retries. Lets the driver overlap host seeding
+    of the NEXT batch with device compute of this one."""
+
+    def __init__(self, tasks, scoring, config, W, need_cigar):
+        self._args = (scoring, config, W, need_cigar)
+        self._results = [None] * len(tasks)
+        self._live = _filter_degenerate(tasks, self._results)
+        self._tasks = tasks
+        if self._live:
+            self._pending = _tape_dispatch(
+                [tasks[i] for i in self._live], scoring, config, W,
+                need_cigar)
+        else:
+            self._pending = []
+
+    def collect(self):
+        scoring, config, W, need_cigar = self._args
+        if self._pending:
+            grouped = _tape_collect(self._pending)
+            retry = _tape_decode(self._results, self._live, self._pending,
+                                 grouped, need_cigar, config)
+            if retry:
+                retried = _align_banded_moves_path(
+                    [self._tasks[i] for i in retry], scoring, config, W,
+                    need_cigar)
+                for i, pa in zip(retry, retried):
+                    self._results[i] = pa
+        return self._results
+
+
+class _SyncAlign(object):
+    def __init__(self, fn):
+        self._fn = fn
+        self._out = None
+
+    def collect(self):
+        if self._out is None:
+            self._out = self._fn()
+        return self._out
+
+
+def align_banded_async(tasks, scoring, config=SEMI_GLOBAL, band=25,
+                       need_cigar=True):
+    """align_banded split into dispatch-now / collect-later. On the
+    single-device tape path the kernels are queued immediately and the
+    host is free until .collect(); CPU and mesh paths compute lazily at
+    collect time (no benefit to eager work there)."""
+    if not tasks:
+        return _SyncAlign(lambda: [])
+    from ..parallel.mesh import get_default_mesh
+    on_cpu = jax.devices()[0].platform == 'cpu'
+    mesh = get_default_mesh()
+    plain_tape = not on_cpu and not (
+        mesh is not None and mesh.devices.size > 1)
+    if plain_tape:
+        W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
+        return _AsyncAlign(tasks, scoring, config, W, need_cigar)
+    return _SyncAlign(lambda: align_banded(tasks, scoring, config=config,
+                                           band=band,
+                                           need_cigar=need_cigar))
+
+
 def align_banded_multi(tasks, scoring, config, W, need_cigar, devices,
                        interpret=False):
     """Data-parallel tape path over multiple devices: tasks are
