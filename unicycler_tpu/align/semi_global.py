@@ -131,6 +131,7 @@ def _make_tasks(read, ref_list, clusters, band, fine_k=10) -> List[_Task]:
     read_len = read.get_length()
     pad = read_len // 2
     tasks = []
+    rc_codes = None     # revcomp computed at most once per read
     seen = []   # (ref_id, rev, diag_lo, diag_hi, read_lo, read_hi)
     for cl in clusters:
         diag_lo = int(np.min(cl.anchors_ref - cl.anchors_read))
@@ -150,13 +151,18 @@ def _make_tasks(read, ref_list, clusters, band, fine_k=10) -> List[_Task]:
         ref_len = ref.get_length()
         start = max(0, cl.ref_start - cl.read_start - pad)
         end = min(ref_len, cl.ref_end + (read_len - cl.read_end) + pad)
-        q = revcomp_codes(read.codes) if cl.rev_comp else read.codes
+        if cl.rev_comp:
+            if rc_codes is None:
+                rc_codes = revcomp_codes(read.codes)
+            q = rc_codes
+        else:
+            q = read.codes
         r_window = ref.codes[start:end]
         coarse_ref = (cl.anchors_ref - start).astype(np.int64)
         fine_read, fine_ref = mz.collect_common_kmers(
-            q, r_window, cl.anchors_read.astype(np.int64), coarse_ref,
+            q, ref.codes, cl.anchors_read.astype(np.int64), coarse_ref,
             k=fine_k, max_dist=settings.FINE_ANCHOR_MAX_DIST,
-            max_occ=settings.FINE_ANCHOR_MAX_OCC)
+            max_occ=settings.FINE_ANCHOR_MAX_OCC, window=(start, end))
         if len(fine_read) >= 3:
             a_read, a_ref = fine_read, fine_ref
         else:

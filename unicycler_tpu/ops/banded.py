@@ -621,10 +621,19 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                 *main_in, *per_task, put(tp.n_tasks),
                 scoring=scoring, config=config, W=W, interpret=interpret)
             # Sparse record fetch: ship only the rows whose record is
-            # informative (see compress_records); cap at 1/8 of the tape
-            # (the dense device array is the rare-overflow fallback).
-            cap = max(4096, records.shape[0] * records.shape[1] // 8)
-            nnz, idx, vals = compress_records(records, cap)
+            # informative (see compress_records). Informative rows are
+            # error rows of the walked paths — ~15% of the summed task
+            # rows on raw nanopore reads, near zero on clean reads — so
+            # cap at 30% of sum(n_act): the padded tape (records.size)
+            # can be an order of magnitude larger when one long task
+            # dominates a segment. Dense device array is the
+            # rare-overflow fallback (an extra full fetch, so the cap
+            # errs generous).
+            sum_rows = int(tp.n_t[tp.n_t > 0].sum())
+            cap = max(4096, (sum_rows * 3) // 10)
+            cap = min(cap, records.shape[0] * records.shape[1])
+            nnz, idx, vals = compress_records(
+                records, cap, segments=(per_task[6], per_task[4]))
             dev = [score, end_i, end_j, nnz, idx, vals, jnp.ravel(fin)]
             pending.append((tp, dev, (cap, records)))
         else:

@@ -269,10 +269,52 @@ class MinimizerIndex(object):
         return clusters
 
 
+_FINE_INDEX_CACHE = {}   # (id(codes), k) -> (codes keepalive, ck_sorted)
+
+
+def get_fine_index(codes: np.ndarray, k: int) -> np.ndarray:
+    """Sorted composite-key fine-anchor index of a full reference sequence,
+    memoised by array identity. Each entry is (kmer << 32) | position, so
+    one sorted uint64 array answers "occurrences of kmer K inside window
+    [a, b)" with two searchsorted probes — no per-task re-sort of the
+    reference window (the round-1 seeding hot spot). Invalid k-mers
+    (non-ACGT bases) sort to the top and can never match a query
+    (queries have kmer < 2**(2k) <= 2**32)."""
+    key = (id(codes), k)
+    ent = _FINE_INDEX_CACHE.get(key)
+    if ent is not None and ent[0] is codes:
+        return ent[1]
+    rk, rv = _kmer_codes(codes, k)
+    ck = ((rk << np.uint64(32))
+          | np.arange(len(rk), dtype=np.uint64))
+    ck = np.where(rv, ck, np.uint64(np.iinfo(np.uint64).max))
+    ck.sort()
+    if len(_FINE_INDEX_CACHE) > 64:
+        _FINE_INDEX_CACHE.clear()
+    _FINE_INDEX_CACHE[key] = (codes, ck)
+    return ck
+
+
+_QUERY_KMER_CACHE = {}   # (id(codes), k) -> (codes keepalive, kmers, valid)
+
+
+def _cached_query_kmers(codes: np.ndarray, k: int):
+    key = (id(codes), k)
+    ent = _QUERY_KMER_CACHE.get(key)
+    if ent is not None and ent[0] is codes:
+        return ent[1], ent[2]
+    qk, qv = _kmer_codes(codes, k)
+    if len(_QUERY_KMER_CACHE) > 16:
+        _QUERY_KMER_CACHE.clear()
+    _QUERY_KMER_CACHE[key] = (codes, qk, qv)
+    return qk, qv
+
+
 def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
                          line_read: np.ndarray, line_ref: np.ndarray,
                          k: int = 10, max_dist: int = 100,
-                         max_occ: int = 64):
+                         max_occ: int = 64,
+                         window=None):
     """Fine anchor pass: all common k-mers between read and reference window
     that lie within max_dist of the coarse seed line, colinearised by LIS.
 
@@ -281,24 +323,46 @@ def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
     TRACE_LINE_COLLECTION_DISTANCE, settings.h:50): dense k=10 anchors make
     the banded corridor hug the true alignment path, where sparse minimisers
     alone would drift. Returns (anchors_read, anchors_ref) int32 arrays.
+
+    When ``window=(start, end)`` is given, ``r_codes`` must be the FULL
+    reference array: the windowed occurrences come from the memoised
+    composite index (get_fine_index) and returned ref positions are
+    window-relative — identical output to slicing, without the per-task
+    sort of the window's k-mers.
     """
-    qk, qv = _kmer_codes(q_codes, k)
-    rk, rv = _kmer_codes(r_codes, k)
-    if len(qk) == 0 or len(rk) == 0:
+    qk, qv = _cached_query_kmers(q_codes, k)
+    if len(qk) == 0 or len(r_codes) < k:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32))
-    rk = np.where(rv, rk, np.uint64(np.iinfo(np.uint64).max))
-    order = np.argsort(rk, kind='stable')
-    rk_sorted = rk[order]
-    r_pos_sorted = order.astype(np.int64)
-    lo = np.searchsorted(rk_sorted, qk, side='left')
-    hi = np.searchsorted(rk_sorted, qk, side='right')
-    counts = np.where(qv, hi - lo, 0)
-    counts = np.minimum(counts, max_occ)
-    total = int(counts.sum())
-    if total == 0:
-        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
-    read_pos = np.repeat(np.arange(len(qk), dtype=np.int64), counts)
-    ref_pos = r_pos_sorted[_expand_ranges(lo, counts)]
+    if window is not None:
+        w0, w1 = window
+        ck = get_fine_index(r_codes, k)
+        qck = qk << np.uint64(32)
+        lo = np.searchsorted(ck, qck | np.uint64(max(w0, 0)), side='left')
+        hi = np.searchsorted(ck, qck | np.uint64(max(w1 - k + 1, 0)),
+                             side='left')
+        counts = np.where(qv, hi - lo, 0)
+        counts = np.minimum(counts, max_occ)
+        total = int(counts.sum())
+        if total == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+        read_pos = np.repeat(np.arange(len(qk), dtype=np.int64), counts)
+        ref_pos = (ck[_expand_ranges(lo, counts)]
+                   & np.uint64(0xFFFFFFFF)).astype(np.int64) - w0
+    else:
+        rk, rv = _kmer_codes(r_codes, k)
+        rk = np.where(rv, rk, np.uint64(np.iinfo(np.uint64).max))
+        order = np.argsort(rk, kind='stable')
+        rk_sorted = rk[order]
+        r_pos_sorted = order.astype(np.int64)
+        lo = np.searchsorted(rk_sorted, qk, side='left')
+        hi = np.searchsorted(rk_sorted, qk, side='right')
+        counts = np.where(qv, hi - lo, 0)
+        counts = np.minimum(counts, max_occ)
+        total = int(counts.sum())
+        if total == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+        read_pos = np.repeat(np.arange(len(qk), dtype=np.int64), counts)
+        ref_pos = r_pos_sorted[_expand_ranges(lo, counts)]
     # keep hits near the coarse line
     if len(line_read) >= 2:
         expected = np.interp(read_pos, line_read.astype(np.float64),

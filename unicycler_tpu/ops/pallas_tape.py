@@ -768,7 +768,8 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
 
 
 @functools.partial(jax.jit, static_argnames=('cap',))
-def compress_records(records, cap: int):
+@functools.partial(jax.jit, static_argnames=('cap',))
+def compress_records(records, cap: int, segments=None):
     """Sparse-compress traceback row records for the device->host fetch.
 
     A walked row's record is 1 (a single M step) on every error-free row
@@ -778,8 +779,28 @@ def compress_records(records, cap: int):
     with record not in {0, 1}; the host rebuilds the dense array with
     default 1 (the decoder never reads unwalked rows, and a stop row's
     default 1 decodes to d_stop = 0, which is exactly its meaning when
-    absent here). Returns (nnz (1,), idx (cap,), vals (cap,)); callers
-    must fall back to fetching `records` itself when nnz > cap."""
+    absent here). Rows outside every task's [seg_start, seg_start+n_t]
+    range are pad: the reverse walk crosses them and stores junk moves
+    there, so they must be masked out or nnz scales with the PADDED
+    tape size rather than the real workload — pass ``segments`` =
+    (seg_start (B,TT), seg_len (B,TT)) to build the in-use mask from a
+    scattered +1/-1 range cumsum. Returns (nnz (1,), idx (cap,),
+    vals (cap,)); callers must fall back to fetching `records` itself
+    when nnz > cap."""
+    if segments is not None:
+        seg_start, seg_len = segments
+        B, L = records.shape
+        tr = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], seg_start.shape)
+        valid = seg_len > 0
+        starts = jnp.where(valid, seg_start, L + 1)
+        ends = jnp.where(valid, jnp.minimum(seg_start + seg_len + 1, L + 1),
+                         L + 1)
+        delta = jnp.zeros((B, L + 2), jnp.int32)
+        delta = delta.at[tr, starts].add(1, mode='drop')
+        delta = delta.at[tr, ends].add(-1, mode='drop')
+        in_use = jnp.cumsum(delta[:, :L], axis=1) > 0
+        records = jnp.where(in_use, records, 0)
     flat = records.reshape(-1)
     interesting = (flat != 1) & (flat != 0)
     nnz = jnp.sum(interesting.astype(jnp.int32))
