@@ -821,8 +821,7 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config):
                 records = np.ones(B_ * L_, np.int32)
                 records[idx[:nnz]] = vals[:nnz]
                 records = records.reshape(B_, L_)
-            from .tape import BT as _BT
-            fin = parts[6].reshape(_BT, tp.TT, 3)
+            fin = parts[6].reshape(tp.qf.shape[0], tp.TT, 3)
         else:
             records = fin = None
         for tr in range(tp.task_ids.shape[0]):

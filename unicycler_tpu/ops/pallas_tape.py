@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pairwise import NEG, AlignConfig, Scoring
-from .pallas_banded import (BT, MAX_SHIFT, _prefix_cummax, _shift_right_one,
+from .pallas_banded import (MAX_SHIFT, _prefix_cummax, _shift_right_one,
                             pack_moves_rows_kernel)
 from .tape import SEG_ALIGN
 
@@ -69,7 +69,7 @@ def _region_width(W):
     return (gw + 127) // 128 * 128
 
 
-def _chunk_rows(W, minimum):
+def _chunk_rows(W, bt, minimum):
     """Rows per grid step: the largest power of two <= 256 keeping the
     per-chunk VMEM blocks (dominated by the (T, BT, GWp/8) moves block
     and the per-group region/h0/hatn planes) near ~4 MB. Capped at 256:
@@ -77,7 +77,7 @@ def _chunk_rows(W, minimum):
     at W=128 took minutes and then crashed the compiler; T=256 compiles
     in seconds)."""
     GWp = _region_width(W)
-    per_row = BT * (GWp // 8) * 4 + BT * (9 * GWp + 128 * 8) // G
+    per_row = bt * (GWp // 8) * 4 + bt * (9 * GWp + 128 * 8) // G
     t = 256
     while t > minimum and t * per_row > (1 << 22):
         t //= 2
@@ -97,8 +97,8 @@ def _lane_scalar(plane, lane_iota128, idx):
 UNROLL_MAX_GWP = 1024
 
 
-def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
-                      need_moves: bool):
+def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
+                      config: AlignConfig, need_moves: bool):
     match_s, mismatch = int(scoring.match), int(scoring.mismatch)
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
 
@@ -110,8 +110,8 @@ def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
             (hatn_ref, best_ref,
              h_scr, f_scr, bestv_scr, besti_scr, hatn_scr) = out_and_scratch
             moves_ref = None
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, GWp), 1)
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, GWp), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (bt, 128), 1)
         out_lane = lane128
 
         def boundary_row(j, m_g, c0):
@@ -128,9 +128,9 @@ def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
         # scalars, carry loads/stores, and slot publications happen once
         # per 32 rows, amortising per-row load/branch overhead.
         def group_body(g_local, _):
-            grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(BT, 128)
+            grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(bt, 128)
             reg = reg_ref[pl.ds(g_local, 1), :, :] \
-                .reshape(BT, GWp).astype(jnp.int32)
+                .reshape(bt, GWp).astype(jnp.int32)
             jr = _lane_scalar(grp, lane128, _L_JR)
             m_g = _lane_scalar(grp, lane128, _L_M)
             lb = _lane_scalar(grp, lane128, _L_LB)
@@ -167,8 +167,8 @@ def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
             lc_lane = j == m_col_g              # <=1 lane per track
             # per-lane running best-lastcol within this group (reduced
             # once at group end; lc_lane is group-constant)
-            lcv = jnp.full((BT, GWp), NEG, jnp.int32)
-            lci = jnp.zeros((BT, GWp), jnp.int32)
+            lcv = jnp.full((bt, GWp), NEG, jnp.int32)
+            lci = jnp.zeros((bt, GWp), jnp.int32)
 
             for r_in_g in range(G):
                 rowv = _lane_scalar(grp, lane128, r_in_g)
@@ -258,11 +258,11 @@ def _make_tape_kernel(T, W, GWp, scoring: Scoring, config: AlignConfig,
     return kernel
 
 
-def _make_tape_kernel_rolled(T, W, GWp, scoring: Scoring,
+def _make_tape_kernel_rolled(T, W, GWp, bt, scoring: Scoring,
                              config: AlignConfig, need_moves: bool):
     """Row-at-a-time variant for wide bands (GWp > UNROLL_MAX_GWP): the
     fully-unrolled group body would overflow Mosaic's scoped-VMEM stack
-    with live (BT, GWp) temporaries. Same math, same outputs; group
+    with live (bt, GWp) temporaries. Same math, same outputs; group
     state lives in scratch and the prologue runs under pl.when."""
     match_s, mismatch = int(scoring.match), int(scoring.mismatch)
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
@@ -277,8 +277,8 @@ def _make_tape_kernel_rolled(T, W, GWp, scoring: Scoring,
              h_scr, f_scr, reg_scr, grp_scr,
              bestv_scr, besti_scr, hatn_scr) = out_and_scratch
             moves_ref = None
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, GWp), 1)
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, GWp), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (bt, 128), 1)
         out_lane = lane128
 
         def boundary_row(j, m_g, c0):
@@ -296,10 +296,10 @@ def _make_tape_kernel_rolled(T, W, GWp, scoring: Scoring,
 
             @pl.when(r_in_g == 0)
             def _group_prologue():
-                grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(BT, 128)
+                grp = sc_ref[pl.ds(g_local, 1), :, :].reshape(bt, 128)
                 grp_scr[:, :] = grp
                 reg_scr[:, :] = reg_ref[pl.ds(g_local, 1), :, :] \
-                    .reshape(BT, GWp).astype(jnp.int32)
+                    .reshape(bt, GWp).astype(jnp.int32)
                 jr = _lane_scalar(grp, lane128, _L_JR)
                 m_g = _lane_scalar(grp, lane128, _L_M)
                 adv = _lane_scalar(grp, lane128, _L_ADV)
@@ -429,12 +429,12 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
                  seg_start, reset_slot, cap_slot, last_slot,
                  scoring: Scoring, config: AlignConfig, W: int,
                  need_moves: bool, interpret: bool = False):
-    """Run the tape DP. Returns (score, end_i, end_j) each (BT, TT) plus
-    (moves (BT, L, GWp/8), (c_rel, jr_rows)) for traceback chaining."""
+    """Run the tape DP. Returns (score, end_i, end_j) each (B, TT) plus
+    (moves (B, L, GWp/8), (c_rel, jr_rows)) for traceback chaining."""
     B, L = qf.shape
     GWp = _region_width(W)
     w8r = GWp // 8
-    T = min(L, _chunk_rows(W, G))
+    T = min(L, _chunk_rows(W, B, G))
     n_chunks = L // T
     n_groups = L // G
 
@@ -448,9 +448,9 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
     # Per-ROW quantities are pure elementwise/cumsum work: task resets
     # only happen at group starts, so every per-segment base constant
     # cancels inside a group and no per-row gather is needed (gathers
-    # over (BT, L) measured ~5 us/row of XLA time on this stack).
-    S = jnp.cumsum(si, axis=1)                             # (BT, L)
-    Sg = S[:, ::G]                                         # (BT, n_groups)
+    # over (B, L) measured ~5 us/row of XLA time on this stack).
+    S = jnp.cumsum(si, axis=1)                             # (B, L)
+    Sg = S[:, ::G]                                         # (B, n_groups)
     d_off = S - jnp.repeat(Sg, G, axis=1)                  # in [0, G*MS]
 
     # ---- per-group quantities (gathers over n_groups = L/32 only) ------
@@ -461,7 +461,7 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
     jr_g = u_grp - takeg(r_base) - (W - 1)
     jr_rows = jnp.repeat(jr_g, G, axis=1)
     adv = jnp.concatenate(
-        [jnp.zeros((BT, 1), u_grp.dtype), u_grp[:, 1:] - u_grp[:, :-1]],
+        [jnp.zeros((B, 1), u_grp.dtype), u_grp[:, 1:] - u_grp[:, :-1]],
         axis=1)
     m_g = takeg(m_t)
     c0_g = takeg(c0m)
@@ -471,15 +471,15 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
     # SC_GRP plane: lanes 0..G-1 = per-row packed info, high lanes =
     # per-group scalars
     rowinfo = (d_off | (is_capture << 8) | (active << 9) | (q_codes << 16))
-    plane = jnp.zeros((BT, n_groups, 128), jnp.int32)
+    plane = jnp.zeros((B, n_groups, 128), jnp.int32)
     plane = plane.at[:, :, :G].set(
-        rowinfo.reshape(BT, n_groups, G).astype(jnp.int32))
+        rowinfo.reshape(B, n_groups, G).astype(jnp.int32))
     for idx, vals in ((_L_JR, jr_g), (_L_M, m_g), (_L_LB, lb_g),
                       (_L_ADV, adv), (_L_RST, rst_g), (_L_C0, c0_g)):
         plane = plane.at[:, :, idx].set(vals.astype(jnp.int32))
-    sc_grp = jnp.transpose(plane, (1, 0, 2))               # (n_g, BT, 128)
+    sc_grp = jnp.transpose(plane, (1, 0, 2))               # (n_g, B, 128)
 
-    bidx = jnp.arange(BT, dtype=jnp.int32)[:, None]
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     # ---- reference regions ---------------------------------------------
     def slice_one(r_b, start):
@@ -487,7 +487,7 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
 
     regions = jax.vmap(lambda r_b, starts:
                        jax.vmap(lambda s: slice_one(r_b, s))(starts))(
-        r_flat, u_grp)                                     # (BT, n_g, GWp)
+        r_flat, u_grp)                                     # (B, n_g, GWp)
     regions = jnp.transpose(regions, (1, 0, 2))
 
     import os as _os
@@ -502,58 +502,59 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
             z = jnp.sum(sc_grp)                         # + plane assembly
         else:
             z = jnp.sum(sc_grp) + jnp.sum(regions.astype(jnp.int32))
-        zz = jnp.zeros((BT, TT_ := cap_slot.shape[1]), jnp.int32) + z
-        return (zz, zz, zz, jnp.zeros((BT, 1, 1), jnp.int32),
-                (jnp.zeros((BT, L), jnp.int32), jr_rows))
+        zz = jnp.zeros((B, TT_ := cap_slot.shape[1]), jnp.int32) + z
+        return (zz, zz, zz, jnp.zeros((B, 1, 1), jnp.int32),
+                (jnp.zeros((B, L), jnp.int32), jr_rows))
 
     unrolled = GWp <= UNROLL_MAX_GWP
     if unrolled:
-        kernel = _make_tape_kernel(T, W, GWp, scoring, config, need_moves)
+        kernel = _make_tape_kernel(T, W, GWp, B, scoring, config,
+                                   need_moves)
         scratch = [
-            pltpu.VMEM((BT, GWp), jnp.int32),    # H carry
-            pltpu.VMEM((BT, GWp), jnp.int32),    # F carry
-            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol value
-            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol local row
-            pltpu.VMEM((BT, GWp), jnp.int32),    # captured H at n_act
+            pltpu.VMEM((B, GWp), jnp.int32),    # H carry
+            pltpu.VMEM((B, GWp), jnp.int32),    # F carry
+            pltpu.VMEM((B, 1), jnp.int32),      # best lastcol value
+            pltpu.VMEM((B, 1), jnp.int32),      # best lastcol local row
+            pltpu.VMEM((B, GWp), jnp.int32),    # captured H at n_act
         ]
     else:
-        kernel = _make_tape_kernel_rolled(T, W, GWp, scoring, config,
-                                          need_moves)
+        kernel = _make_tape_kernel_rolled(T, W, GWp, B, scoring,
+                                          config, need_moves)
         scratch = [
-            pltpu.VMEM((BT, GWp), jnp.int32),    # H carry
-            pltpu.VMEM((BT, GWp), jnp.int32),    # F carry
-            pltpu.VMEM((BT, GWp), jnp.int32),    # region (int32)
-            pltpu.VMEM((BT, 128), jnp.int32),    # group plane
-            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol value
-            pltpu.VMEM((BT, 1), jnp.int32),      # best lastcol local row
-            pltpu.VMEM((BT, GWp), jnp.int32),    # captured H at n_act
+            pltpu.VMEM((B, GWp), jnp.int32),    # H carry
+            pltpu.VMEM((B, GWp), jnp.int32),    # F carry
+            pltpu.VMEM((B, GWp), jnp.int32),    # region (int32)
+            pltpu.VMEM((B, 128), jnp.int32),    # group plane
+            pltpu.VMEM((B, 1), jnp.int32),      # best lastcol value
+            pltpu.VMEM((B, 1), jnp.int32),      # best lastcol local row
+            pltpu.VMEM((B, GWp), jnp.int32),    # captured H at n_act
         ]
     out_specs, out_shape = [], []
     if need_moves:
-        # moves are written track-major (BT, L, w8r) with a dynamic
+        # moves are written track-major (B, L, w8r) with a dynamic
         # SUBLANE store per row, so the traceback kernel can read (1, T,
         # w8r) blocks per track without any whole-array transpose
-        out_specs.append(pl.BlockSpec((BT, T, w8r), lambda ch: (0, ch, 0),
+        out_specs.append(pl.BlockSpec((B, T, w8r), lambda ch: (0, ch, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((BT, L, w8r), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((B, L, w8r), jnp.int32))
     out_specs += [
-        pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
+        pl.BlockSpec((T // G, B, GWp), lambda ch: (ch, 0, 0),
                      memory_space=pltpu.VMEM),             # hatn slots
-        pl.BlockSpec((T // G, BT, 128), lambda ch: (ch, 0, 0),
+        pl.BlockSpec((T // G, B, 128), lambda ch: (ch, 0, 0),
                      memory_space=pltpu.VMEM),             # best slots
     ]
     out_shape += [
-        jax.ShapeDtypeStruct((n_groups, BT, GWp), jnp.int32),
-        jax.ShapeDtypeStruct((n_groups, BT, 128), jnp.int32),
+        jax.ShapeDtypeStruct((n_groups, B, GWp), jnp.int32),
+        jax.ShapeDtypeStruct((n_groups, B, 128), jnp.int32),
     ]
     outs = pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((T // G, BT, 128), lambda ch: (ch, 0, 0),
+            pl.BlockSpec((T // G, B, 128), lambda ch: (ch, 0, 0),
                          memory_space=pltpu.VMEM),         # SC_GRP
-            pl.BlockSpec((T // G, BT, GWp), lambda ch: (ch, 0, 0),
+            pl.BlockSpec((T // G, B, GWp), lambda ch: (ch, 0, 0),
                          memory_space=pltpu.VMEM),         # regions (int8)
         ],
         out_specs=out_specs,
@@ -561,20 +562,20 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         scratch_shapes=scratch,
     )(sc_grp, regions)
     if need_moves:
-        moves, hatn_slots, best_slots = outs         # (BT, L, w8r)
+        moves, hatn_slots, best_slots = outs         # (B, L, w8r)
     else:
         hatn_slots, best_slots = outs
-        moves = jnp.zeros((BT, 1, 1), jnp.int32)
+        moves = jnp.zeros((B, 1, 1), jnp.int32)
 
-    # ---- end selection, vectorized over (BT, TT) task slots -------------
+    # ---- end selection, vectorized over (B, TT) task slots -------------
     # (gather the TT relevant slots directly — transposing the full slot
     # planes first costs a whole-array relayout)
     n_slots = n_groups
     cap = jnp.clip(cap_slot, 0, n_slots - 1)
     last = jnp.clip(last_slot, 0, n_slots - 1)
-    hatn_t = hatn_slots[cap, bidx]                            # (BT,TT,GWp)
+    hatn_t = hatn_slots[cap, bidx]                            # (B,TT,GWp)
     best_t = best_slots[last, bidx]
-    jr_cap = jnp.take_along_axis(jr_g, cap, axis=1)           # (BT, TT)
+    jr_cap = jnp.take_along_axis(jr_g, cap, axis=1)           # (B, TT)
 
     ks = jnp.arange(GWp, dtype=jnp.int32)
     c_rel = jr_rows + d_off                   # band offset per (track,row)

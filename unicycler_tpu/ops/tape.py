@@ -6,12 +6,16 @@ buckets of <= 8 tasks each, so launch overhead dominates on a tunnelled
 device. The TAPE layout instead concatenates EVERY task of a call along
 the row axis of one kernel launch:
 
-  * tasks are sorted by row count (descending) and grouped 8 at a time
-    into SEGMENTS; group k's task j runs in sublane track j.
-  * a segment's row length is the max n_act of its 8 tasks, rounded up to
-    SEG_ALIGN=32 (so the reference-window group slices never straddle a
-    segment boundary); the tape is the concatenation of all segments.
-    Sorting bounds the intra-segment padding to the sorted spread.
+  * each track owns an independent task list: tasks are assigned
+    longest-first to the least-loaded track (LPT), each padded to a
+    SEG_ALIGN=32 row boundary, and laid back to back. The tape's serial
+    length is the max track load — lower-bounded by the single longest
+    task, since one task's DP rows are inherently sequential.
+  * the track count BT is chosen PER LAUNCH from {8, 16, 32}: every
+    kernel row-step costs vector work proportional to BT x region
+    lanes, so a launch whose serial length is pinned by one long task
+    (low fill) runs up to 4x faster on 8 tracks than on 32. The cost
+    model is serial_length(bt) x bt, minimized over the choices.
   * each track owns a flat reference array: its tasks' windows laid out
     back to back, each padded with W sentinel bases on both sides.
   * per-row metadata is ONE byte (query base + reset / capture / band
@@ -29,7 +33,7 @@ from typing import List, NamedTuple
 import numpy as np
 
 from .encode import Q_PAD, R_PAD
-from .pallas_banded import BT, MAX_SHIFT
+from .pallas_banded import MAX_SHIFT
 
 SEG_ALIGN = 32        # segment row alignment == reference-window group size
 L_CAP = 131072        # max tape rows per launch (cellinfo HBM budget ~1 GB)
@@ -87,68 +91,99 @@ def _bucket_geom(n, minimum, quantum, ratio=1.25):
     return -(-int(b) // quantum) * quantum
 
 
+def _aligned_len(task):
+    return -(-len(task.q) // SEG_ALIGN) * SEG_ALIGN
+
+
+def _lpt_serial(alens, bt):
+    """Serial tape length of an LPT assignment of task row-loads `alens`
+    (sorted descending) onto bt tracks: the max track load."""
+    loads = [0] * bt
+    for a in alens:
+        k = loads.index(min(loads))
+        loads[k] += a
+    return max(loads)
+
+
+def choose_bt(alens):
+    """Pick the track count minimizing serial_length x bt (per-step
+    vector cost is proportional to bt; ties go to fewer tracks)."""
+    alens = sorted(alens, reverse=True)
+    best_bt, best_cost = 8, None
+    for bt in (8, 16, 32):
+        cost = _lpt_serial(alens, bt) * bt
+        if best_cost is None or cost < best_cost:
+            best_bt, best_cost = bt, cost
+    return best_bt
+
+
 def build_tapes(tasks, W, build_corridor) -> List[TapeLaunch]:
     """Lay out `tasks` (ops.banded.BandedTask list) into tape launches.
     Tasks with empty q or r must be filtered by the caller."""
     order = sorted(range(len(tasks)), key=lambda i: -len(tasks[i].q))
-    # segments: consecutive groups of BT sorted tasks
-    segments = [order[s:s + BT] for s in range(0, len(order), BT)]
-    # the row cap scales inversely with band width and track count (the
-    # cellinfo intermediate is BT x L x W int32 in HBM)
-    l_cap = max(512, L_CAP * 256 * 8 // (W * BT) // 512 * 512)
+    bt = choose_bt([_aligned_len(tasks[i]) for i in order])
+    # the row cap bounds the moves intermediate (bt x L x GWp/2 bytes
+    # in HBM) and the per-launch fetch
+    l_cap = max(512, L_CAP * 256 * 8 // (W * bt) // 512 * 512)
 
     launches = []
-    seg_pos = 0
-    while seg_pos < len(segments):
-        # take segments until the tape would exceed the row cap
-        chunk = []
-        L = 0
-        while seg_pos < len(segments):
-            seg = segments[seg_pos]
-            seg_len = -(-max(len(tasks[i].q) for i in seg) // SEG_ALIGN) \
-                * SEG_ALIGN
-            if chunk and L + seg_len > l_cap:
-                break
-            chunk.append((seg, seg_len))
-            L += seg_len
-            seg_pos += 1
-        launches.append(_build_one(tasks, chunk, L, W, build_corridor))
+    remaining = order
+    while remaining:
+        loads = [0] * bt
+        assign: List[List[int]] = [[] for _ in range(bt)]
+        overflow = []
+        for ti in remaining:
+            a = _aligned_len(tasks[ti])
+            k = loads.index(min(loads))
+            # a single over-cap task still gets a (solo) launch
+            if loads[k] and loads[k] + a > l_cap:
+                overflow.append(ti)
+            else:
+                assign[k].append(ti)
+                loads[k] += a
+        launches.append(_build_one(tasks, assign, max(loads), W, bt,
+                                   build_corridor))
+        remaining = overflow
     return launches
 
 
-def _build_one(tasks, chunk, L_real, W, build_corridor) -> TapeLaunch:
+def _build_one(tasks, assign, L_real, W, bt, build_corridor) -> TapeLaunch:
+    """Build one launch from `assign`: per-track lists of task indices.
+    Every task start is SEG_ALIGN-aligned (its padded length is a
+    multiple of SEG_ALIGN), so resets land on group boundaries."""
     # rows quantum: the largest chunk size _chunk_rows can pick, so any
     # bucketed L divides evenly into grid chunks
     L = _bucket_geom(max(L_real, 512), 512, 256)
-    TT = _bucket_pow2(max(len(chunk), 8), 8)
+    TT = _bucket_pow2(max(max(len(a) for a in assign), 8), 8)
 
-    qf = np.full((BT, L), Q_PAD, np.uint8)
-    per = {name: np.full((BT, TT), -1, np.int32)
+    qf = np.full((bt, L), Q_PAD, np.uint8)
+    per = {name: np.full((bt, TT), -1, np.int32)
            for name in ('cbase', 'c0m', 'c_n', 'm_t', 'n_t', 'r_base',
                         'seg_start', 'reset_slot', 'cap_slot', 'last_slot',
                         'task_ids')}
-    n_tasks = np.zeros(BT, np.int32)
+    n_tasks = np.zeros(bt, np.int32)
 
-    # first pass: compute per-track reference sizes
-    r_sizes = np.zeros(BT, np.int64)
-    for seg, _ in chunk:
-        for tr, ti in enumerate(seg):
+    # first pass: per-track reference sizes
+    r_sizes = np.zeros(bt, np.int64)
+    for tr in range(bt):
+        for ti in assign[tr]:
             r_sizes[tr] += len(tasks[ti].r) + 2 * W
     GW = W + SEG_ALIGN * MAX_SHIFT
     M = _bucket_geom(int(r_sizes.max()) + GW + 1, 1024, 512)
-    r_flat = np.full((BT, M), R_PAD, np.int8)
+    r_flat = np.full((bt, M), R_PAD, np.int8)
 
-    r_cursor = np.zeros(BT, np.int64)
-    row = 0
-    for k, (seg, seg_len) in enumerate(chunk):
-        for tr, ti in enumerate(seg):
+    for tr in range(bt):
+        r_cursor = 0
+        row = 0
+        for ti in assign[tr]:
             t = tasks[ti]
             n_act, m_act = len(t.q), len(t.r)
+            seg_len = -(-n_act // SEG_ALIGN) * SEG_ALIGN
             c = build_corridor(t.corridor_read, t.corridor_ref,
                                n_act, m_act, W)
-            base = int(r_cursor[tr])
+            base = r_cursor
             r_flat[tr, base + W:base + W + m_act] = t.r
-            r_cursor[tr] += m_act + 2 * W
+            r_cursor += m_act + 2 * W
 
             # si includes the reset row's c[1]-c[0] drift: the kernel
             # swaps in h0 (built at c[0] alignment) and THEN realigns by
@@ -173,16 +208,16 @@ def _build_one(tasks, chunk, L_real, W, build_corridor) -> TapeLaunch:
             per['last_slot'][tr, kk] = (row + seg_len - 1) // SEG_ALIGN
             per['task_ids'][tr, kk] = ti
             n_tasks[tr] += 1
-        row += seg_len
+            row += seg_len
 
     # The cumsum-of-si reconstruction on device is global per track; adjust
     # each task's base so c_rel = cumsum(si)[row] + cbase[task] lands on
     # the true c values despite earlier segments' drift accumulating.
-    for tr in range(BT):
+    for tr in range(bt):
         s_cum = np.cumsum((qf[tr] >> F_SI_SHIFT) & 7)
         for kk in range(n_tasks[tr]):
             r0 = per['seg_start'][tr, kk]
             per['cbase'][tr, kk] -= int(s_cum[r0])
 
     return TapeLaunch(qf=qf, r_flat=r_flat,
-                      n_tasks=n_tasks, L=L, L_real=row, TT=TT, **per)
+                      n_tasks=n_tasks, L=L, L_real=L_real, TT=TT, **per)
