@@ -233,35 +233,47 @@ def align_reads_to_refs(reads, references, scoring_scheme,
             max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
             live_reads = [r for r in reads
                           if r.get_length() >= min_align_length]
-            # Chunking trades tape-batching efficiency (fewer, fuller
-            # launches) for seeding/compute overlap — only worth it when
-            # each chunk still fills a large tape on its own.
-            total_bases = sum(r.get_length() for r in live_reads)
-            n_chunks = int(min(4, max(1, total_bases // 2_000_000)))
-            bounds = np.linspace(0, len(live_reads), n_chunks + 1,
-                                 dtype=int)
+            # Pipelined seeding: buffer seeded tasks and dispatch a tape
+            # batch as soon as ~one launch worth of DP rows accumulates,
+            # so host seeding of later reads hides under device compute
+            # of earlier ones. All handles are fetched in ONE merged
+            # transfer at the end (collect_many), so finer chunks do not
+            # add fetch round trips.
+            CHUNK_ROWS = 250_000
             handles = []
-            for ci in range(n_chunks):
-                chunk_tasks: List[_Task] = []
-                with trace.span('seed_and_tasks'):
-                    for read in live_reads[bounds[ci]:bounds[ci + 1]]:
-                        clusters = index.lookup(read.codes)
-                        if debug_dir is not None:
-                            _dump_seed_debug(debug_dir, read, level,
-                                             clusters)
-                        chunk_tasks.extend(_make_tasks(
-                            read, references, clusters[:max_traces],
-                            band))
+            chunk_tasks: List[_Task] = []
+            chunk_rows = 0
+
+            def flush_chunk():
                 with trace.span('dispatch'):
-                    handles.append((chunk_tasks, banded_ops.align_banded_async(
+                    handles.append((chunk_tasks[:],
+                                    banded_ops.align_banded_async(
                         [t.banded for t in chunk_tasks], scoring,
                         config=pw.SEMI_GLOBAL, band=band,
                         need_cigar=True)))
+                del chunk_tasks[:]
+
+            for read in live_reads:
+                with trace.span('seed_and_tasks'):
+                    clusters = index.lookup(read.codes)
+                    if debug_dir is not None:
+                        _dump_seed_debug(debug_dir, read, level, clusters)
+                    new_tasks = _make_tasks(
+                        read, references, clusters[:max_traces], band)
+                chunk_tasks.extend(new_tasks)
+                chunk_rows += sum(len(t.banded.q) for t in new_tasks)
+                if chunk_rows >= CHUNK_ROWS:
+                    flush_chunk()
+                    chunk_rows = 0
+            if chunk_tasks:
+                flush_chunk()
             results = []
             with trace.span('traceback_pass'):
-                for chunk_tasks, handle in handles:
+                all_res = banded_ops.collect_many(
+                    [h for _, h in handles])
+                for (chunk_tasks, _), res in zip(handles, all_res):
                     tasks.extend(chunk_tasks)
-                    results.extend(handle.collect())
+                    results.extend(res)
         else:
             with trace.span('seed_and_tasks'):
                 for read in reads:

@@ -703,6 +703,7 @@ class _AsyncAlign(object):
         self._results = [None] * len(tasks)
         self._live = _filter_degenerate(tasks, self._results)
         self._tasks = tasks
+        self._grouped = None          # pre-merged fetch via collect_many
         if self._live:
             self._pending = _tape_dispatch(
                 [tasks[i] for i in self._live], scoring, config, W,
@@ -713,7 +714,8 @@ class _AsyncAlign(object):
     def collect(self):
         scoring, config, W, need_cigar = self._args
         if self._pending:
-            grouped = _tape_collect(self._pending)
+            grouped = self._grouped if self._grouped is not None \
+                else _tape_collect(self._pending)
             retry = _tape_decode(self._results, self._live, self._pending,
                                  grouped, need_cigar, config)
             if retry:
@@ -734,6 +736,22 @@ class _SyncAlign(object):
         if self._out is None:
             self._out = self._fn()
         return self._out
+
+
+def collect_many(handles):
+    """Collect a list of align_banded_async handles with ONE merged
+    device->host fetch across every handle's pending launches (each
+    .collect() alone pays a fetch round trip — the dominant fixed cost
+    on a tunnelled device). Returns a list of per-handle result lists."""
+    async_h = [h for h in handles if isinstance(h, _AsyncAlign)
+               and h._pending]
+    if len(async_h) > 1:
+        merged = _tape_collect([p for h in async_h for p in h._pending])
+        pos = 0
+        for h in async_h:
+            h._grouped = merged[pos:pos + len(h._pending)]
+            pos += len(h._pending)
+    return [h.collect() for h in handles]
 
 
 def align_banded_async(tasks, scoring, config=SEMI_GLOBAL, band=25,
