@@ -48,8 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pairwise import NEG, AlignConfig, Scoring
-from .pallas_banded import (MAX_SHIFT, _prefix_cummax, _shift_right_one,
-                            pack_moves_rows_kernel)
+from .pallas_banded import MAX_SHIFT, _prefix_cummax, _shift_right_one
 from .tape import SEG_ALIGN
 
 G = SEG_ALIGN
@@ -222,8 +221,16 @@ def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
                                      jnp.where(h_new == e, 1, 2))
                     moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
                               | jnp.where(f_ext_bit, 8, 0))
-                    moves_ref[:, pl.ds(g_local * G + r_in_g, 1), :] = \
-                        pack_moves_rows_kernel(moves4)[:, None, :]
+                    # row-packed moves: 8 consecutive rows share one
+                    # int32 word per lane (row r in bits 4r..4r+3) — two
+                    # vector ops per row and one store per 8 rows,
+                    # replacing the 7-roll nibble-plane pack per row
+                    sh = 4 * (r_in_g % 8)
+                    mv_acc = moves4 if sh == 0 else mv_acc | (moves4 << sh)
+                    if r_in_g % 8 == 7:
+                        moves_ref[:, pl.ds(g_local * (G // 8)
+                                           + r_in_g // 8, 1), :] = \
+                            mv_acc[:, None, :]
 
                 h_lc = jnp.where(vb & lc_lane & (m_col >= 0), h_new, NEG)
                 better = h_lc > lcv
@@ -271,7 +278,7 @@ def _make_tape_kernel_rolled(T, W, GWp, bt, scoring: Scoring,
         if need_moves:
             (moves_ref, hatn_ref, best_ref,
              h_scr, f_scr, reg_scr, grp_scr,
-             bestv_scr, besti_scr, hatn_scr) = out_and_scratch
+             bestv_scr, besti_scr, hatn_scr, mv_scr) = out_and_scratch
         else:
             (hatn_ref, best_ref,
              h_scr, f_scr, reg_scr, grp_scr,
@@ -382,8 +389,15 @@ def _make_tape_kernel_rolled(T, W, GWp, bt, scoring: Scoring,
                 hsrc = jnp.where(h == diag, 0, jnp.where(h == e, 1, 2))
                 moves4 = (hsrc | jnp.where(e_ext_bit, 4, 0)
                           | jnp.where(f_ext_bit, 8, 0))
-                moves_ref[:, pl.ds(t, 1), :] = \
-                    pack_moves_rows_kernel(moves4)[:, None, :]
+                # row-packed moves (see the unrolled body): row t lands
+                # in bits 4*(t%8) of word t//8
+                r8 = t % 8
+                mv_scr[:, :] = jnp.where(r8 == 0, moves4,
+                                         mv_scr[:, :] | (moves4 << (4 * r8)))
+
+                @pl.when(r8 == 7)
+                def _flush_moves():
+                    moves_ref[:, pl.ds(t // 8, 1), :] = mv_scr[:, :][:, None, :]
 
             lc_val = jnp.max(jnp.where(is_lastcol, h, NEG), axis=1,
                              keepdims=True)
@@ -430,10 +444,10 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
                  scoring: Scoring, config: AlignConfig, W: int,
                  need_moves: bool, interpret: bool = False):
     """Run the tape DP. Returns (score, end_i, end_j) each (B, TT) plus
-    (moves (B, L, GWp/8), (c_rel, jr_rows)) for traceback chaining."""
+    (moves (B, L/8, GWp) row-packed, (c_rel, jr_rows)) for traceback
+    chaining."""
     B, L = qf.shape
     GWp = _region_width(W)
-    w8r = GWp // 8
     T = min(L, _chunk_rows(W, B, G))
     n_chunks = L // T
     n_groups = L // G
@@ -529,14 +543,17 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
             pltpu.VMEM((B, 1), jnp.int32),      # best lastcol local row
             pltpu.VMEM((B, GWp), jnp.int32),    # captured H at n_act
         ]
+        if need_moves:
+            scratch.append(pltpu.VMEM((B, GWp), jnp.int32))  # moves acc
     out_specs, out_shape = [], []
     if need_moves:
-        # moves are written track-major (B, L, w8r) with a dynamic
-        # SUBLANE store per row, so the traceback kernel can read (1, T,
-        # w8r) blocks per track without any whole-array transpose
-        out_specs.append(pl.BlockSpec((B, T, w8r), lambda ch: (0, ch, 0),
+        # moves are written track-major (B, L/8, GWp) row-packed (8 rows
+        # per int32 word), so the traceback kernel can read (1, T/8,
+        # GWp) blocks per track without any whole-array transpose
+        out_specs.append(pl.BlockSpec((B, T // 8, GWp),
+                                      lambda ch: (0, ch, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((B, L, w8r), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((B, L // 8, GWp), jnp.int32))
     out_specs += [
         pl.BlockSpec((T // G, B, GWp), lambda ch: (ch, 0, 0),
                      memory_space=pltpu.VMEM),             # hatn slots
@@ -562,7 +579,7 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
         scratch_shapes=scratch,
     )(sc_grp, regions)
     if need_moves:
-        moves, hatn_slots, best_slots = outs         # (B, L, w8r)
+        moves, hatn_slots, best_slots = outs         # (B, L//8, GWp)
     else:
         hatn_slots, best_slots = outs
         moves = jnp.zeros((B, 1, 1), jnp.int32)
@@ -616,7 +633,6 @@ def tape_forward(qf, r_flat, cbase, c0m, c_n, m_t, n_t, r_base,
 
 
 def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
-    w8r = GWp // 8
 
     def kernel(moves_ref, crow_ref, jrow_ref, ntask_ref, endabs_ref,
                endj_ref, segst_ref, rec_ref, fin_ref, st_scr):
@@ -637,19 +653,18 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
             st_scr[4] = jnp.where(k0 >= 0, segst_ref[b, kc], 0)
 
         rec_ref[0, :, :] = jnp.zeros((T, 1), jnp.int32)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, w8r), 1)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, GWp), 1)
 
         def read_cell(i_abs, j):
             t = jnp.clip(i_abs - 1 - chunk_lo, 0, T - 1)
-            row = moves_ref[0, pl.ds(t, 1), :]
+            # row-packed moves: word t//8 holds row t in bits 4*(t%8)
+            row = moves_ref[0, pl.ds(t // 8, 1), :]
             c_i = crow_ref[0, pl.ds(t, 1), :][0, 0]
             jr_i = jrow_ref[0, pl.ds(t, 1), :][0, 0]
             band = j - c_i
             lane_r = j - jr_i
-            word_idx = jnp.remainder(lane_r, w8r)
-            word = jnp.sum(jnp.where(lane_iota == word_idx, row, 0))
-            nibble = jnp.clip(lane_r // w8r, 0, 7)
-            return (word >> (4 * nibble)) & 0xF, band
+            word = jnp.sum(jnp.where(lane_iota == lane_r, row, 0))
+            return (word >> (4 * (t % 8))) & 0xF, band
 
         def cond(state):
             task_k, i_abs, j, s, seg0 = state
@@ -726,10 +741,10 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
 @functools.partial(jax.jit, static_argnames=('W', 'interpret'))
 def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
                    seg_start, W, interpret: bool = False):
-    """On-device traceback over a whole tape. Returns (records (BT, L)
-    int32, fin (BT, TT, 3) = (final local i, final j, stop code))."""
-    B, L, w8r = moves.shape
-    GWp = w8r * 8
+    """On-device traceback over a whole tape. Returns (records (B, L)
+    int32, fin (B, TT, 3) = (final local i, final j, stop code))."""
+    B, Lw, GWp = moves.shape
+    L = c_rel.shape[1]       # Lw = L // 8 (row-packed words)
     TT = end_abs.shape[1]
     T = min(L, 256)         # tape lengths are multiples of 256
     n_chunks = L // T
@@ -739,7 +754,8 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
         grid=(B, n_chunks),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, T, w8r), lambda b, ch: (b, n_chunks - 1 - ch, 0),
+            pl.BlockSpec((1, T // 8, GWp),
+                         lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.VMEM),
