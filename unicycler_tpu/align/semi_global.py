@@ -240,6 +240,11 @@ def align_reads_to_refs(reads, references, scoring_scheme,
             # transfer at the end (collect_many), so finer chunks do not
             # add fetch round trips.
             CHUNK_ROWS = 250_000
+            # Longest-first seeding groups the big reads into the same
+            # tape launches: a launch's serial length is its LONGEST
+            # task, so four 70 kb reads sharing one launch cost one
+            # 70k-row tape instead of pinning four separate ones.
+            live_reads.sort(key=lambda r: -r.get_length())
             handles = []
             chunk_tasks: List[_Task] = []
             chunk_rows = 0

@@ -16,7 +16,7 @@ _BUILD_FAILED = False
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_SRC_DIR, 'libunicycler_tpu_native.so')
 _HASH_PATH = os.path.join(_SRC_DIR, '.build_hash')
-_SOURCES = ['cigar_decode.cpp', 'lis.cpp']
+_SOURCES = ['cigar_decode.cpp', 'lis.cpp', 'seedsearch.cpp']
 
 
 def _source_hash():
@@ -72,6 +72,11 @@ def get_lib():
     lib.lis_indices.restype = ctypes.c_int64
     lib.lis_indices.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                 ctypes.c_void_p]
+    lib.window_ranges_u64.restype = None
+    lib.window_ranges_u64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int]
     _LIB = lib
     return _LIB
 
@@ -118,6 +123,29 @@ def native_decode_banded(moves, c, end_i, end_j, free_start_s1,
     cigar = [(int(out[2 * k]), _OP_NAMES[int(out[2 * k + 1])])
              for k in range(n - 1, -1, -1)]
     return (cigar, int(si.value), int(sj.value))
+
+
+_N_SEARCH_THREADS = min(8, os.cpu_count() or 1)
+
+
+def native_window_ranges(ck, qck, lo_add, hi_add):
+    """Parallel (lo, hi) index ranges of each query k-mer's occurrences
+    within a reference window, over the sorted composite index `ck`
+    ((kmer << 32 | pos) uint64). Equivalent to two np.searchsorted calls;
+    returns None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ck = np.ascontiguousarray(ck, dtype=np.uint64)
+    qck = np.ascontiguousarray(qck, dtype=np.uint64)
+    m = len(qck)
+    lo = np.empty(m, np.int64)
+    hi = np.empty(m, np.int64)
+    lib.window_ranges_u64(ck.ctypes.data, len(ck), qck.ctypes.data, m,
+                          int(lo_add), int(hi_add),
+                          lo.ctypes.data, hi.ctypes.data,
+                          _N_SEARCH_THREADS)
+    return lo, hi
 
 
 def native_lis(values):

@@ -1,0 +1,63 @@
+// Parallel windowed k-mer range search over the composite fine index.
+//
+// The fine index (ops/minimizer.get_fine_index) is a sorted uint64 array
+// of (kmer << 32 | position) entries; per alignment task the seeder needs,
+// for every query k-mer, the index range of occurrences whose position
+// lies in the task's reference window. numpy's searchsorted runs this
+// single-threaded at ~100 ns/probe (memory-latency bound); this native
+// version splits the query array over a thread pool and finds the upper
+// bound with a short exponential gallop from the lower bound (occurrence
+// lists are nearly always tiny), roughly halving probe count. The role of
+// the reference's per-thread common-k-mer collection loop
+// (ref src/semi_global_align.cpp:197-207 + src/kmers.cpp), recast as a
+// batch primitive.
+
+#include <algorithm>
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+extern "C" void window_ranges_u64(
+    const uint64_t* ck, int64_t n,      // sorted composite index
+    const uint64_t* qck, int64_t m,     // query kmers, pre-shifted << 32
+    uint64_t lo_add, uint64_t hi_add,   // window [w0, w1) position bounds
+    int64_t* lo_out, int64_t* hi_out,
+    int n_threads)
+{
+    auto work = [=](int64_t a, int64_t b) {
+        for (int64_t i = a; i < b; ++i) {
+            uint64_t qlo = qck[i] | lo_add;
+            int64_t lo = std::lower_bound(ck, ck + n, qlo) - ck;
+            lo_out[i] = lo;
+            uint64_t qhi = qck[i] | hi_add;
+            if (qhi <= qlo) {     // inverted/empty window: plain search
+                hi_out[i] = std::lower_bound(ck, ck + n, qhi) - ck;
+                continue;
+            }
+            // exponential gallop for the upper bound: first index >= qhi
+            // at or after lo
+            int64_t bound = 1;
+            while (lo + bound < n && ck[lo + bound - 1] < qhi)
+                bound <<= 1;
+            int64_t r = std::min(n, lo + bound);
+            int64_t l = lo + (bound >> 1);
+            if (l > n) l = n;
+            hi_out[i] = std::lower_bound(ck + l, ck + r, qhi) - ck;
+        }
+    };
+    if (n_threads <= 1 || m < 4096) {
+        work(0, m);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (m + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t a = t * chunk;
+        int64_t b = std::min(m, a + chunk);
+        if (a >= b)
+            break;
+        threads.emplace_back(work, a, b);
+    }
+    for (auto& th : threads)
+        th.join();
+}

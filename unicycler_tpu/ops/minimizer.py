@@ -337,9 +337,16 @@ def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
         w0, w1 = window
         ck = get_fine_index(r_codes, k)
         qck = qk << np.uint64(32)
-        lo = np.searchsorted(ck, qck | np.uint64(max(w0, 0)), side='left')
-        hi = np.searchsorted(ck, qck | np.uint64(max(w1 - k + 1, 0)),
-                             side='left')
+        from ..native import native_window_ranges
+        ranges = native_window_ranges(ck, qck, max(w0, 0),
+                                      max(w1 - k + 1, 0))
+        if ranges is not None:
+            lo, hi = ranges
+        else:
+            lo = np.searchsorted(ck, qck | np.uint64(max(w0, 0)),
+                                 side='left')
+            hi = np.searchsorted(ck, qck | np.uint64(max(w1 - k + 1, 0)),
+                                 side='left')
         counts = np.where(qv, hi - lo, 0)
         counts = np.minimum(counts, max_occ)
         total = int(counts.sum())

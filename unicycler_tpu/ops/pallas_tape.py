@@ -636,6 +636,13 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
 
     def kernel(moves_ref, crow_ref, jrow_ref, ntask_ref, endabs_ref,
                endj_ref, segst_ref, rec_ref, fin_ref, st_scr):
+        """Pure-scalar walk: the moves block, per-row sidecars, and both
+        outputs live in SMEM, so one walk step is a handful of scalar
+        ops (the vector formulation paid a (1, GWp) masked reduce plus
+        two VMEM dynamic slices and a 128-lane publish PER STEP —
+        ~230 ns; total walk length is the summed path length of every
+        task, ~1 row per aligned base, so step cost dominates the whole
+        traceback kernel)."""
         b = pl.program_id(0)
         chunk_rev = pl.program_id(1)
         chunk = n_chunks - 1 - chunk_rev
@@ -652,19 +659,11 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
             st_scr[3] = 0                      # dp state: H
             st_scr[4] = jnp.where(k0 >= 0, segst_ref[b, kc], 0)
 
-        rec_ref[0, :, :] = jnp.zeros((T, 1), jnp.int32)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, GWp), 1)
+        def _zero_rec(t, _):
+            rec_ref[0, t, 0] = 0
+            return 0
 
-        def read_cell(i_abs, j):
-            t = jnp.clip(i_abs - 1 - chunk_lo, 0, T - 1)
-            # row-packed moves: word t//8 holds row t in bits 4*(t%8)
-            row = moves_ref[0, pl.ds(t // 8, 1), :]
-            c_i = crow_ref[0, pl.ds(t, 1), :][0, 0]
-            jr_i = jrow_ref[0, pl.ds(t, 1), :][0, 0]
-            band = j - c_i
-            lane_r = j - jr_i
-            word = jnp.sum(jnp.where(lane_iota == lane_r, row, 0))
-            return (word >> (4 * (t % 8))) & 0xF, band
+        jax.lax.fori_loop(0, T, _zero_rec, 0)
 
         def cond(state):
             task_k, i_abs, j, s, seg0 = state
@@ -678,7 +677,12 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
             row0_stop = i_rel == 0
             col0_stop = (~row0_stop) & (s == 0) & (j == 0)
 
-            cell, band = read_cell(i_abs, j)
+            t = jnp.clip(i_abs - 1 - chunk_lo, 0, T - 1)
+            band = j - crow_ref[0, t, 0]
+            lane_r = jnp.clip(j - jrow_ref[0, t, 0], 0, GWp - 1)
+            # row-packed moves: word t//8 holds row t in bits 4*(t%8)
+            cell = (moves_ref[0, t // 8, lane_r] >> (4 * (t % 8))) & 0xF
+
             escape = (~row0_stop) & (~col0_stop) & ((band < 0) | (band >= W))
             stopping = row0_stop | col0_stop | escape
             code = jnp.where(row0_stop, 0, jnp.where(col0_stop, 1, 2))
@@ -690,21 +694,17 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
             is_i = act == 2
 
             # per-row record (suppressed on stop iterations)
-            t = jnp.clip(i_abs - 1 - chunk_lo, 0, T - 1)
             inc = jnp.where(stopping, 0,
                             jnp.where(is_m, 1, jnp.where(is_i, 2, 8)))
-            old = rec_ref[0, pl.ds(t, 1), :]
-            rec_ref[0, pl.ds(t, 1), :] = old + inc
+            rec_ref[0, t, 0] = rec_ref[0, t, 0] + inc
 
-            # publish final state for the current task (last write wins)
-            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            fin = jnp.where(lane128 == 0, i_rel,
-                            jnp.where(lane128 == 1, j,
-                                      jnp.where(lane128 == 2,
-                                                jnp.where(stopping, code, -1),
-                                                0)))
-            kc = jnp.clip(task_k, 0, TT - 1)
-            fin_ref[0, pl.ds(kc, 1), :] = fin
+            # publish the task's final state on its stop iteration
+            @pl.when(stopping)
+            def _publish():
+                kc = jnp.clip(task_k, 0, TT - 1)
+                fin_ref[0, kc, 0] = i_rel
+                fin_ref[0, kc, 1] = j
+                fin_ref[0, kc, 2] = code
 
             # step (when walking)
             e_ext = ((cell >> 2) & 1) == 1
@@ -756,11 +756,11 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
         in_specs=[
             pl.BlockSpec((1, T // 8, GWp),
                          lambda b, ch: (b, n_chunks - 1 - ch, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_tasks (B,)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # end_abs (B, TT)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # end_j (B, TT)
@@ -768,13 +768,13 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
         ],
         out_specs=[
             pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TT, 128), lambda b, ch: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TT, 4), lambda b, ch: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, L, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, TT, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, TT, 4), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
     )(moves, c_rel[:, :, None].astype(jnp.int32),

@@ -79,11 +79,11 @@ def _bucket_pow2(n, minimum):
     return b
 
 
-def _bucket_geom(n, minimum, quantum, ratio=1.25):
-    """Geometric size buckets (ratio ~1.25, rounded up to `quantum`):
+def _bucket_geom(n, minimum, quantum, ratio=1.125):
+    """Geometric size buckets (ratio 1.125, rounded up to `quantum`):
     power-of-two buckets waste up to 50% of the tape in pad rows that
     the kernel EXECUTES and the host UPLOADS (measured 45% on the bench
-    fixtures); 1.25x steps cap the waste at ~20% for ~3x more compiled
+    fixtures); 1.125x steps cap the waste at ~11% for more compiled
     shapes, which the persistent compile cache absorbs."""
     b = float(minimum)
     while b < n:
