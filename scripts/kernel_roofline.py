@@ -137,11 +137,27 @@ def main():
     cell_rate = row_rate * W
     # the serial unit is one 32-track tape step; the VPU estimate in the
     # module docstring is per 32-alignment step
-    from unicycler_tpu.ops.pallas_banded import BT
-    roofline_rows = 42e6 / 8 * BT   # docstring estimate was per-8-row
+    # Roofline per SERIAL tape step (the unit of kernel wall time): one
+    # step advances every track one DP row. The unrolled body runs ~60
+    # vector ops per row on (bt, GWp) int32 state = ceil(bt/8)*ceil(GWp/128)
+    # vregs per op at ~1 vreg-op/cycle, 940 MHz.
+    from unicycler_tpu.ops.tape import build_tapes as _bt
+    from unicycler_tpu.ops.pallas_tape import _region_width
+    tasks_r = build_workload(np.random.default_rng(0))
+    serial_steps = 0
+    bt_used = None
+    for tp in _bt(tasks_r, W, banded_ops.build_corridor):
+        serial_steps += tp.L
+        bt_used = tp.qf.shape[0]
+    GWp = _region_width(W)
+    vregs = -(-bt_used // 8) * -(-GWp // 128)
+    ideal_step_s = 60 * vregs / 940e6
+    step_s = compute / serial_steps
     out = {
         'W': W,
-        'rows_per_iter': int(rows_per_iter),
+        'bt': bt_used,
+        'task_rows_per_iter': int(rows_per_iter),
+        'serial_steps_per_iter': int(serial_steps),
         'upload_s': round(upload, 4),
         'compute_plus_rtt_s': round(compute, 4),
         'dispatch_plus_everything_s': round(full, 4),
@@ -149,8 +165,9 @@ def main():
         'fetch_MB_per_iter': round(fetch_bytes / iters / 1e6, 2),
         'task_rows_per_s_compute_only': int(row_rate),
         'cells_per_s_compute_only': int(cell_rate),
-        'vpu_roofline_task_rows_per_s': int(roofline_rows),
-        'fraction_of_roofline': round(row_rate / roofline_rows, 3),
+        'us_per_serial_step': round(step_s * 1e6, 3),
+        'ideal_us_per_serial_step': round(ideal_step_s * 1e6, 3),
+        'fraction_of_vpu_ideal': round(ideal_step_s / step_s, 3),
     }
     print(json.dumps(out, indent=2))
 
