@@ -160,10 +160,16 @@ def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
             bi = jnp.where(rst_b, 0, besti_scr[:, :])
             hatn = hatn_scr[:, :]
 
-            # group-constant masks
+            # group-constant masks: every j/m_col term is hoisted out of
+            # the row loop; per row only the band window [d, d+W) and
+            # the `active` gate change
             m_col_g = m_g                       # gated per row by `active`
             j = jr + lane
             lc_lane = j == m_col_g              # <=1 lane per track
+            j1m_g = (j >= 1) & (j <= m_col_g)
+            j0m_g = (j >= 0) & (j <= m_col_g)
+            col0_g = (j == 0) & (m_col_g >= 0)
+            lcm_g = lc_lane & (m_col_g >= 0)
             # per-lane running best-lastcol within this group (reduced
             # once at group end; lc_lane is group-constant)
             lcv = jnp.full((bt, GWp), NEG, jnp.int32)
@@ -177,11 +183,10 @@ def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
                 qv = (rowv >> 16) & 255
                 local_i = lb + r_in_g
 
-                m_col = jnp.where(active, m_col_g, -1)
-                vb = (lane >= d) & (lane < d + W)
-                valid_ef = vb & (j >= 1) & (j <= m_col)
-                is_col0 = vb & (j == 0) & (m_col >= 0)
-                valid_h = vb & (j >= 0) & (j <= m_col)
+                vba = (lane >= d) & (lane < d + W) & active
+                valid_ef = vba & j1m_g
+                is_col0 = vba & col0_g
+                valid_h = vba & j0m_g
                 is_match = reg == qv
 
                 f_open = h + open_
@@ -232,7 +237,7 @@ def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
                                            + r_in_g // 8, 1), :] = \
                             mv_acc[:, None, :]
 
-                h_lc = jnp.where(vb & lc_lane & (m_col >= 0), h_new, NEG)
+                h_lc = jnp.where(vba & lcm_g, h_new, NEG)
                 better = h_lc > lcv
                 lcv = jnp.where(better, h_lc, lcv)
                 lci = jnp.where(better, local_i, lci)
