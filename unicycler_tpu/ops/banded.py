@@ -879,8 +879,24 @@ def _align_banded_moves_path(task_list, scoring, config, W, need_cigar):
     from .encode import bucket_length, pad_to, Q_PAD
     from .pallas_banded import BT, pallas_banded_batch
     results = [None] * len(task_list)
-    buckets = {}
+    # Memory guard: the bucketed kernel materialises a (BT, n_pad, W/8)
+    # int32 moves array in HBM; a band-escape retry of a very long,
+    # very wide task (e.g. 40 kb consensus at W=2048) would request
+    # tens of GB and kill the process. Such tasks get the zero-score
+    # degenerate result instead (same semantics as an unretryable
+    # band escape).
+    kept = []
     for idx, t in enumerate(task_list):
+        n_pad = bucket_length(max(len(t.q), 1))
+        if need_cigar and BT * n_pad * (W // 8) * 4 > (1 << 31):
+            results[idx] = PairAlignment(
+                score=0, s1_start=0, s1_end=0, s2_start=0, s2_end=0,
+                cigar=[], s1_len=len(t.q), s2_len=len(t.r))
+        else:
+            kept.append(idx)
+    buckets = {}
+    for idx in kept:
+        t = task_list[idx]
         key = (bucket_length(max(len(t.q), 1)),
                bucket_length(max(len(t.r), 1)))
         buckets.setdefault(key, []).append(idx)

@@ -751,7 +751,14 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
     B, Lw, GWp = moves.shape
     L = c_rel.shape[1]       # Lw = L // 8 (row-packed words)
     TT = end_abs.shape[1]
-    T = min(L, 256)         # tape lengths are multiples of 256
+    # Rows per grid step: capped so the (T/8, GWp) int32 SMEM moves
+    # window stays within the scalar memory budget (wide-band launches,
+    # e.g. 60 kb consensus-vs-path alignments at W=2048+, otherwise
+    # request >500 KB scoped SMEM and fail to compile). L is a multiple
+    # of 256, so every halving still divides it.
+    T = min(L, 256)
+    while T > 8 and (T // 8) * GWp * 4 > 96 * 1024:
+        T //= 2
     n_chunks = L // T
     kernel = _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT)
     rec, fin = pl.pallas_call(
