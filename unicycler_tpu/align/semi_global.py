@@ -249,13 +249,56 @@ def align_reads_to_refs(reads, references, scoring_scheme,
             chunk_tasks: List[_Task] = []
             chunk_rows = 0
 
+            class _S(object):
+                __slots__ = ('score',)
+
+                def __init__(self, s):
+                    self.score = s
+
+            def keep_winners(htasks):
+                """Walk only per-read winning candidates plus singles:
+                the same rule the post-pass applies
+                (_select_winner_tasks), computed from the phase-1 score
+                fetch so losing windows never pay traceback steps."""
+                def from_scores(raw_scores):
+                    prelim = [None if s is None else _S(s)
+                              for s in raw_scores]
+                    keep = set(_select_winner_tasks(htasks, prelim))
+                    counts = {}
+                    for t in htasks:
+                        counts[id(t.read)] = counts.get(id(t.read), 0) + 1
+                    keep |= {i for i, t in enumerate(htasks)
+                             if counts[id(t.read)] == 1}
+                    return keep
+                return from_scores
+
+            walk_cursor = [0]    # handles whose walks started, in order
+
+            def start_ready_walks(block=False):
+                # Opportunistic phase-2 starts: fetch finished chunks'
+                # scores (ONE merged transfer for all of them) and queue
+                # their winner walks. Non-blocking by default (is_ready
+                # probe) so the host never stalls on a chunk the device
+                # hasn't reached yet.
+                batch = []
+                while walk_cursor[0] < len(handles):
+                    htasks, h = handles[walk_cursor[0]]
+                    if not block and not h.forwards_ready():
+                        break
+                    batch.append((h, keep_winners(htasks)))
+                    walk_cursor[0] += 1
+                if batch:
+                    banded_ops.start_walks_many(batch)
+
             def flush_chunk():
                 with trace.span('dispatch'):
                     handles.append((chunk_tasks[:],
                                     banded_ops.align_banded_async(
                         [t.banded for t in chunk_tasks], scoring,
                         config=pw.SEMI_GLOBAL, band=band,
-                        need_cigar=True)))
+                        need_cigar=True, two_phase=True)))
+                    if len(handles) >= 2:
+                        start_ready_walks()
                 del chunk_tasks[:]
 
             for read in live_reads:
@@ -270,12 +313,16 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                 if chunk_rows >= CHUNK_ROWS:
                     flush_chunk()
                     chunk_rows = 0
+                elif len(handles) > walk_cursor[0]:
+                    start_ready_walks()
             if chunk_tasks:
                 flush_chunk()
             results = []
             with trace.span('traceback_pass'):
-                all_res = banded_ops.collect_many(
-                    [h for _, h in handles])
+                # remaining chunks' walks start here (blocking); earlier
+                # chunks were pipelined opportunistically in flush_chunk
+                start_ready_walks(block=True)
+                all_res = banded_ops.collect_many([h for _, h in handles])
                 for (chunk_tasks, _), res in zip(handles, all_res):
                     tasks.extend(chunk_tasks)
                     results.extend(res)

@@ -595,10 +595,27 @@ def _filter_degenerate(tasks, results):
     return live
 
 
+def _sparse_cap(walk_rows, records):
+    """Sparse record-fetch capacity: informative rows are the error rows
+    of the walked paths — ~15% of walked task rows on raw nanopore
+    reads, near zero on clean reads — so cap at 30%, rounded up to a
+    power of two (the cap is a static jit arg; raw values would compile
+    a compress_records variant per launch)."""
+    cap = max(4096, (walk_rows * 3) // 10)
+    b = 4096
+    while b < cap:
+        b *= 2
+    return min(b, records.shape[0] * records.shape[1])
+
+
 def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
-                   interpret=False, device=None):
+                   interpret=False, device=None, two_phase=False):
     """Build tapes and launch the kernels (async). Returns the pending
-    list of (TapeLaunch, device arrays)."""
+    list of (TapeLaunch, device arrays, extra). With two_phase=True the
+    traceback walk is NOT queued: only forward scores/ends are in the
+    fetchable dev list, and `extra` carries the device-resident moves +
+    walk inputs for a later _tape_walk_dispatch (so a caller can fetch
+    scores first and walk only winning tasks)."""
     from .tape import build_tapes
     from .pallas_tape import (compress_records, tape_forward,
                               tape_with_traceback)
@@ -616,22 +633,21 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                           tp.r_base, tp.seg_start, tp.reset_slot,
                           tp.cap_slot, tp.last_slot))
         main_in = (put(tp.qf), put(tp.r_flat))
-        if need_cigar:
+        if need_cigar and two_phase:
+            score, end_i, end_j, moves, (c_rel, jr_rows) = tape_forward(
+                *main_in, *per_task,
+                scoring=scoring, config=config, W=W, need_moves=True,
+                interpret=interpret)
+            walk_ctx = (moves, c_rel, jr_rows, put(tp.n_tasks),
+                        score, end_i, end_j,
+                        per_task[6], per_task[4], W, interpret)
+            pending.append((tp, [score, end_i, end_j],
+                            ('fwd2', walk_ctx)))
+        elif need_cigar:
             score, end_i, end_j, records, fin = tape_with_traceback(
                 *main_in, *per_task, put(tp.n_tasks),
                 scoring=scoring, config=config, W=W, interpret=interpret)
-            # Sparse record fetch: ship only the rows whose record is
-            # informative (see compress_records). Informative rows are
-            # error rows of the walked paths — ~15% of the summed task
-            # rows on raw nanopore reads, near zero on clean reads — so
-            # cap at 30% of sum(n_act): the padded tape (records.size)
-            # can be an order of magnitude larger when one long task
-            # dominates a segment. Dense device array is the
-            # rare-overflow fallback (an extra full fetch, so the cap
-            # errs generous).
-            sum_rows = int(tp.n_t[tp.n_t > 0].sum())
-            cap = max(4096, (sum_rows * 3) // 10)
-            cap = min(cap, records.shape[0] * records.shape[1])
+            cap = _sparse_cap(int(tp.n_t[tp.n_t > 0].sum()), records)
             nnz, idx, vals = compress_records(
                 records, cap, segments=(per_task[6], per_task[4]))
             dev = [score, end_i, end_j, nnz, idx, vals, jnp.ravel(fin)]
@@ -643,6 +659,46 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                 interpret=interpret)
             pending.append((tp, [score, end_i, end_j], None))
     return pending
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _masked_walk_inputs(keep, n_t, seg_start, end_i, end_j):
+    """Walk end states with non-kept tasks degraded to immediate stops
+    (end at their own reset row: the walk publishes one record-free stop
+    and advances)."""
+    valid = (n_t > 0) & keep
+    end_abs = jnp.where(valid, seg_start + end_i, 0)
+    ej = jnp.where(valid, end_j, 0)
+    ss = jnp.where(n_t > 0, seg_start, 0)
+    end_abs = jnp.where((n_t > 0) & ~keep, ss, end_abs)
+    n_t_m = jnp.where(keep, n_t, 0)
+    return end_abs, ej, ss, n_t_m
+
+
+def _tape_walk_dispatch(pending, keep_masks):
+    """Phase 2 of the two-phase tape path: queue the traceback walks for
+    the kept tasks of each launch. Returns a pending list shaped for
+    _tape_collect/_tape_decode (7-part dev groups)."""
+    from .pallas_tape import compress_records, tape_traceback
+    pending2 = []
+    for (tp, dev1, extra), keep in zip(pending, keep_masks):
+        tag, walk_ctx = extra
+        assert tag == 'fwd2'
+        (moves, c_rel, jr_rows, n_tasks_dev, score, end_i, end_j,
+         seg_start_dev, n_t_dev, W, interpret) = walk_ctx
+        keep_dev = jnp.asarray(keep)
+        end_abs, ej, ss, n_t_m = _masked_walk_inputs(
+            keep_dev, n_t_dev, seg_start_dev, end_i, end_j)
+        records, fin = tape_traceback(
+            moves, c_rel, jr_rows, n_tasks_dev, end_abs, ej, ss, W,
+            interpret=interpret)
+        walk_rows = int(tp.n_t[(tp.n_t > 0) & keep].sum())
+        cap = _sparse_cap(walk_rows, records)
+        nnz, idx, vals = compress_records(
+            records, cap, segments=(seg_start_dev, n_t_m))
+        pending2.append((tp, [nnz, idx, vals, jnp.ravel(fin)],
+                         (cap, records)))
+    return pending2
 
 
 def _tape_collect(pending):
@@ -698,33 +754,129 @@ class _AsyncAlign(object):
     and runs band-escape retries. Lets the driver overlap host seeding
     of the NEXT batch with device compute of this one."""
 
-    def __init__(self, tasks, scoring, config, W, need_cigar):
+    def __init__(self, tasks, scoring, config, W, need_cigar,
+                 two_phase=False):
         self._args = (scoring, config, W, need_cigar)
         self._results = [None] * len(tasks)
         self._live = _filter_degenerate(tasks, self._results)
         self._tasks = tasks
+        self._two_phase = two_phase and need_cigar
         self._grouped = None          # pre-merged fetch via collect_many
+        self._keep_masks = None
+        self._g1 = None               # phase-1 host parts (two-phase)
+        self._pend2 = None            # phase-2 pending (two-phase)
         if self._live:
             self._pending = _tape_dispatch(
                 [tasks[i] for i in self._live], scoring, config, W,
-                need_cigar)
+                need_cigar, two_phase=self._two_phase)
         else:
             self._pending = []
 
-    def collect(self):
+    def scores_by_task(self, grouped1):
+        """Phase-1 raw forward scores per ORIGINAL task index (None for
+        degenerate / never-dispatched tasks)."""
+        scores = [None] * len(self._tasks)
+        for (tp, _, _), parts in zip(self._pending, grouped1):
+            sc = parts[0]
+            for tr in range(tp.task_ids.shape[0]):
+                for kk in range(int(tp.n_tasks[tr])):
+                    gi = self._live[int(tp.task_ids[tr, kk])]
+                    scores[gi] = int(sc[tr, kk])
+        return scores
+
+    def keep_masks_from(self, keep):
+        """(bt, TT) bool mask per launch from a set of ORIGINAL task
+        indices to walk."""
+        live_pos = {g: i for i, g in enumerate(self._live)}
+        keep_live = {live_pos[g] for g in keep if g in live_pos}
+        masks = []
+        for tp, _, _ in self._pending:
+            m = np.zeros(tp.task_ids.shape, bool)
+            for tr in range(tp.task_ids.shape[0]):
+                for kk in range(int(tp.n_tasks[tr])):
+                    m[tr, kk] = int(tp.task_ids[tr, kk]) in keep_live
+            masks.append(m)
+        return masks
+
+    def forwards_ready(self):
+        """True when this handle's phase-1 forward outputs have finished
+        computing on device (a phase-1 fetch would not block)."""
+        if not (self._two_phase and self._pending):
+            return True
+        last_score = self._pending[-1][1][0]
+        try:
+            return bool(last_score.is_ready())
+        except AttributeError:
+            return True
+
+    def start_walks(self, keep_from_scores=None):
+        """Two-phase pipelining hook: fetch THIS handle's phase-1 scores
+        (blocks only until its own forwards finish — later handles'
+        device work continues behind), pick the tasks to walk, and queue
+        the walk kernels. Call it from the driver loop after dispatching
+        the NEXT chunk so the score fetch hides under device compute;
+        collect_many then needs only one merged record fetch."""
+        if not (self._two_phase and self._pending) \
+                or self._keep_masks is not None:
+            return
+        self._start_walks_from(_tape_collect(self._pending),
+                               keep_from_scores)
+
+    def _start_walks_from(self, grouped1, keep_from_scores):
+        self._g1 = grouped1
+        if keep_from_scores is not None:
+            keep = keep_from_scores(self.scores_by_task(self._g1))
+        else:
+            keep = set(range(len(self._tasks)))
+        self._keep_masks = self.keep_masks_from(keep)
+        self._pend2 = _tape_walk_dispatch(self._pending, self._keep_masks)
+
+    @staticmethod
+    def start_walks_many(pairs):
+        """Batched start_walks for several handles whose forwards are
+        (or will shortly be) done: ONE merged phase-1 fetch across all
+        of them, then per-handle winner selection and walk dispatch.
+        `pairs` is a list of (handle, keep_from_scores)."""
+        pairs = [(h, kf) for h, kf in pairs
+                 if h._two_phase and h._pending and h._keep_masks is None]
+        if not pairs:
+            return
+        merged = _tape_collect([p for h, _ in pairs for p in h._pending])
+        pos = 0
+        for h, kf in pairs:
+            g1 = merged[pos:pos + len(h._pending)]
+            pos += len(h._pending)
+            h._start_walks_from(g1, kf)
+
+    def finish_walks(self, grouped2):
+        """Pair the phase-2 record fetch with the stored phase-1 parts
+        and decode."""
+        self._pending = [(tp, d1 + d2, ex2) for (tp, d1, _), (_, d2, ex2)
+                         in zip(self._pending, self._pend2)]
+        return self._decode([a + b for a, b in zip(self._g1, grouped2)])
+
+    def _decode(self, grouped):
         scoring, config, W, need_cigar = self._args
-        if self._pending:
-            grouped = self._grouped if self._grouped is not None \
-                else _tape_collect(self._pending)
-            retry = _tape_decode(self._results, self._live, self._pending,
-                                 grouped, need_cigar, config)
-            if retry:
-                retried = _align_banded_moves_path(
-                    [self._tasks[i] for i in retry], scoring, config, W,
-                    need_cigar)
-                for i, pa in zip(retry, retried):
-                    self._results[i] = pa
+        retry = _tape_decode(self._results, self._live, self._pending,
+                             grouped, need_cigar, config,
+                             keep_masks=self._keep_masks)
+        if retry:
+            retried = _align_banded_moves_path(
+                [self._tasks[i] for i in retry], scoring, config, W,
+                need_cigar)
+            for i, pa in zip(retry, retried):
+                self._results[i] = pa
         return self._results
+
+    def collect(self):
+        if not self._pending:
+            return self._results
+        if self._grouped is not None:
+            return self._decode(self._grouped)
+        if self._two_phase:
+            self.start_walks()          # no-op if the driver already did
+            return self.finish_walks(_tape_collect(self._pend2))
+        return self._decode(_tape_collect(self._pending))
 
 
 class _SyncAlign(object):
@@ -738,30 +890,97 @@ class _SyncAlign(object):
         return self._out
 
 
-def collect_many(handles):
+def start_walks_many(pairs):
+    """Module-level alias of _AsyncAlign.start_walks_many."""
+    _AsyncAlign.start_walks_many(pairs)
+
+
+def collect_many(handles, keep_fn=None):
     """Collect a list of align_banded_async handles with ONE merged
     device->host fetch across every handle's pending launches (each
     .collect() alone pays a fetch round trip — the dominant fixed cost
-    on a tunnelled device). Returns a list of per-handle result lists."""
+    on a tunnelled device). Returns a list of per-handle result lists.
+
+    keep_fn(handle_index, raw_scores) -> set of task indices, applied to
+    TWO-PHASE handles: after the merged phase-1 score fetch, only the
+    returned tasks get their traceback walked (the walk spends one step
+    per aligned base, so skipping losing candidate windows saves real
+    kernel time); non-kept tasks come back score-only with empty spans."""
     async_h = [h for h in handles if isinstance(h, _AsyncAlign)
                and h._pending]
-    if len(async_h) > 1:
-        merged = _tape_collect([p for h in async_h for p in h._pending])
-        pos = 0
-        for h in async_h:
-            h._grouped = merged[pos:pos + len(h._pending)]
-            pos += len(h._pending)
-    return [h.collect() for h in handles]
+    # two-phase handles whose walks weren't started yet (no driver
+    # pipelining): start them now, in order
+    for hi, h in enumerate(handles):
+        if isinstance(h, _AsyncAlign) and h._two_phase and h._pending \
+                and h._keep_masks is None:
+            kf = (lambda scores, hi=hi: keep_fn(hi, scores)) \
+                if keep_fn is not None else None
+            h.start_walks(kf)
+    two = [h for h in async_h if h._two_phase]
+    one = [h for h in async_h if not h._two_phase]
+    # one merged fetch: phase-2 records of two-phase handles +
+    # everything of one-phase handles
+    merged = _tape_collect([p for h in two for p in h._pend2]
+                           + [p for h in one for p in h._pending]) \
+        if async_h else []
+    pos = 0
+    results_by_id = {}
+    for h in two:
+        g2 = merged[pos:pos + len(h._pend2)]
+        pos += len(h._pend2)
+        results_by_id[id(h)] = h.finish_walks(g2)
+    for h in one:
+        h._grouped = merged[pos:pos + len(h._pending)]
+        pos += len(h._pending)
+    return [results_by_id[id(h)] if id(h) in results_by_id else h.collect()
+            for h in handles]
+
+
+_FETCH_RTT = None
+
+
+def device_fetch_rtt():
+    """Measured round-trip of a tiny dispatch+fetch (cached). Decides
+    whether latency-sensitive optimisations (extra fetch phases) pay:
+    ~25 ms through the axon tunnel, ~0.1 ms on attached hardware."""
+    global _FETCH_RTT
+    if _FETCH_RTT is None:
+        import time
+        x = jnp.zeros(128, jnp.int32)
+        f = jax.jit(lambda a, s: a + s)
+        np.asarray(f(x, 0))
+        t0 = time.time()
+        np.asarray(f(x, 1))
+        _FETCH_RTT = time.time() - t0
+    return _FETCH_RTT
+
+
+def _two_phase_profitable():
+    """The two-phase tape path (scores first, walk winners only) trades
+    ~45% of walk kernel steps and ~25% of fetched bytes for one extra
+    fetch phase per chunk. That wins when launch round trips are cheap
+    (attached hardware) and loses through a high-latency tunnel.
+    Override with UNICYCLER_TPU_TWO_PHASE=0/1."""
+    import os
+    env = os.environ.get('UNICYCLER_TPU_TWO_PHASE')
+    if env in ('0', '1'):
+        return env == '1'
+    return device_fetch_rtt() < 0.008
 
 
 def align_banded_async(tasks, scoring, config=SEMI_GLOBAL, band=25,
-                       need_cigar=True):
+                       need_cigar=True, two_phase=False):
     """align_banded split into dispatch-now / collect-later. On the
     single-device tape path the kernels are queued immediately and the
     host is free until .collect(); CPU and mesh paths compute lazily at
-    collect time (no benefit to eager work there)."""
+    collect time (no benefit to eager work there). two_phase=True defers
+    the traceback walk so collect_many's keep_fn can skip losers (only
+    honoured where the extra fetch phase is profitable — see
+    _two_phase_profitable)."""
     if not tasks:
         return _SyncAlign(lambda: [])
+    if two_phase:
+        two_phase = _two_phase_profitable()
     from ..parallel.mesh import get_default_mesh
     on_cpu = jax.devices()[0].platform == 'cpu'
     mesh = get_default_mesh()
@@ -769,7 +988,8 @@ def align_banded_async(tasks, scoring, config=SEMI_GLOBAL, band=25,
         mesh is not None and mesh.devices.size > 1)
     if plain_tape:
         W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
-        return _AsyncAlign(tasks, scoring, config, W, need_cigar)
+        return _AsyncAlign(tasks, scoring, config, W, need_cigar,
+                           two_phase=two_phase)
     return _SyncAlign(lambda: align_banded(tasks, scoring, config=config,
                                            band=band,
                                            need_cigar=need_cigar))
@@ -817,13 +1037,18 @@ def align_banded_multi(tasks, scoring, config, W, need_cigar, devices,
     return results
 
 
-def _tape_decode(results, live, pending, grouped, need_cigar, config):
+def _tape_decode(results, live, pending, grouped, need_cigar, config,
+                 keep_masks=None):
     """Decode fetched tape outputs into PairAlignments; returns the task
-    indices needing the band-escape retry path."""
+    indices needing the band-escape retry path. With keep_masks (one
+    (bt, TT) bool array per launch, two-phase mode) non-kept tasks were
+    never walked: they get a score-only result with an empty span, so
+    span-based filters drop them while score-based ranking still sees
+    them."""
     from .pallas_traceback import records_to_cigar
     from ..utils import trace
     retry = []
-    for (tp, dev, extra), parts in zip(pending, grouped):
+    for li, ((tp, dev, extra), parts) in enumerate(zip(pending, grouped)):
         score, end_i, end_j = parts[0], parts[1], parts[2]
         if need_cigar:
             cap, rec_dev = extra
@@ -851,6 +1076,12 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config):
                 if sc <= NEG // 2:
                     results[gi] = PairAlignment(
                         score=0, s1_start=0, s1_end=0, s2_start=0,
+                        s2_end=0, cigar=[], s1_len=n_act, s2_len=m_act)
+                    continue
+                if keep_masks is not None \
+                        and not keep_masks[li][tr, kk]:
+                    results[gi] = PairAlignment(
+                        score=sc, s1_start=0, s1_end=0, s2_start=0,
                         s2_end=0, cigar=[], s1_len=n_act, s2_len=m_act)
                     continue
                 ei, ej = int(end_i[tr, kk]), int(end_j[tr, kk])

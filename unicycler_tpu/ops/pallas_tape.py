@@ -665,7 +665,7 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
             st_scr[4] = jnp.where(k0 >= 0, segst_ref[b, kc], 0)
 
         def _zero_rec(t, _):
-            rec_ref[0, t, 0] = 0
+            rec_ref[0, t // 8, t % 8] = 0
             return 0
 
         jax.lax.fori_loop(0, T, _zero_rec, 0)
@@ -683,8 +683,8 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
             col0_stop = (~row0_stop) & (s == 0) & (j == 0)
 
             t = jnp.clip(i_abs - 1 - chunk_lo, 0, T - 1)
-            band = j - crow_ref[0, t, 0]
-            lane_r = jnp.clip(j - jrow_ref[0, t, 0], 0, GWp - 1)
+            band = j - crow_ref[0, t // 8, t % 8]
+            lane_r = jnp.clip(j - jrow_ref[0, t // 8, t % 8], 0, GWp - 1)
             # row-packed moves: word t//8 holds row t in bits 4*(t%8)
             cell = (moves_ref[0, t // 8, lane_r] >> (4 * (t % 8))) & 0xF
 
@@ -701,15 +701,15 @@ def _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT):
             # per-row record (suppressed on stop iterations)
             inc = jnp.where(stopping, 0,
                             jnp.where(is_m, 1, jnp.where(is_i, 2, 8)))
-            rec_ref[0, t, 0] = rec_ref[0, t, 0] + inc
+            rec_ref[0, t // 8, t % 8] = rec_ref[0, t // 8, t % 8] + inc
 
             # publish the task's final state on its stop iteration
             @pl.when(stopping)
             def _publish():
                 kc = jnp.clip(task_k, 0, TT - 1)
-                fin_ref[0, kc, 0] = i_rel
-                fin_ref[0, kc, 1] = j
-                fin_ref[0, kc, 2] = code
+                fin_ref[b, 4 * kc] = i_rel
+                fin_ref[b, 4 * kc + 1] = j
+                fin_ref[b, 4 * kc + 2] = code
 
             # step (when walking)
             e_ext = ((cell >> 2) & 1) == 1
@@ -769,9 +769,15 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
             pl.BlockSpec((1, T // 8, GWp),
                          lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
+            # sidecars ride (B, L/8, 8) so the window's last dim is the
+            # full 8 (an SMEM window pads its last dim: the previous
+            # (1, T, 1) windows each occupied 128x their true size,
+            # blowing the scalar-memory budget on many-task launches)
+            pl.BlockSpec((1, T // 8, 8),
+                         lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
+            pl.BlockSpec((1, T // 8, 8),
+                         lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # n_tasks (B,)
             pl.BlockSpec(memory_space=pltpu.SMEM),      # end_abs (B, TT)
@@ -779,21 +785,23 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seg_start (B, TT)
         ],
         out_specs=[
-            pl.BlockSpec((1, T, 1), lambda b, ch: (b, n_chunks - 1 - ch, 0),
+            pl.BlockSpec((1, T // 8, 8),
+                         lambda b, ch: (b, n_chunks - 1 - ch, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TT, 4), lambda b, ch: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            # fin is an unblocked whole-array output: every (track,
+            # chunk) grid step may publish to its own track's slots
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, TT, 4), jnp.int32),
+            jax.ShapeDtypeStruct((B, L // 8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((B, 4 * TT), jnp.int32),
         ],
         scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
-    )(moves, c_rel[:, :, None].astype(jnp.int32),
-      jr_rows[:, :, None].astype(jnp.int32),
+    )(moves, c_rel.reshape(B, L // 8, 8).astype(jnp.int32),
+      jr_rows.reshape(B, L // 8, 8).astype(jnp.int32),
       n_tasks.astype(jnp.int32), end_abs.astype(jnp.int32),
       end_j.astype(jnp.int32), seg_start.astype(jnp.int32))
-    return rec[:, :, 0], fin[:, :, :3]
+    return rec.reshape(B, L), fin.reshape(B, TT, 4)[:, :, :3]
 
 
 @functools.partial(jax.jit, static_argnames=('cap',))
