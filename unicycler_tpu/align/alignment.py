@@ -54,6 +54,29 @@ class Alignment(object):
 
     # -- construction ------------------------------------------------------
 
+    @classmethod
+    def from_runs(cls, read, ref, scoring_scheme, rev_comp,
+                  read_start, read_end, ref_start, ref_end,
+                  counts, op_codes):
+        """Rebuild an Alignment from its serialised coordinate + CIGAR-run
+        form (the multi-host allgather wire format,
+        parallel/distributed.py). Scores re-tally deterministically from
+        the sequences, so reconstructed objects equal the originals."""
+        from ..ops.pairwise import PairAlignment
+
+        class _Runs(object):
+            def __init__(self, c, o):
+                self.counts = np.asarray(c, np.int64)
+                self.op_codes = np.asarray(o, np.int8)
+
+        pa = PairAlignment(score=0, s1_start=read_start, s1_end=read_end,
+                           s2_start=ref_start, s2_end=ref_end,
+                           cigar=_Runs(counts, op_codes),
+                           s1_len=read.get_length(),
+                           s2_len=ref.get_length())
+        return cls(read=read, ref=ref, scoring_scheme=scoring_scheme,
+                   pair_alignment=pa, rev_comp=rev_comp)
+
     def _setup_from_pair(self, pa, ref_offset):
         """From a device PairAlignment (s1 = read in aligned orientation,
         s2 = trimmed ref window starting at ref_offset). The CIGAR is kept

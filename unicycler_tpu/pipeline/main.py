@@ -227,8 +227,19 @@ def get_arguments(args=None):
 def main(arg_list=None):
     random.seed(0)   # run-to-run determinism (ref unicycler.py:52)
     args = get_arguments(arg_list)
+    # N-host: join the cluster named by UNICYCLER_TPU_COORDINATOR/…
+    # (no-op single-host). Alignment shards across hosts inside
+    # semi_global_align_long_reads; graph stages run replicated
+    # (deterministic), so non-main processes silence their logs and the
+    # filesystem outputs are identical whichever host wrote them.
+    from ..parallel.distributed import maybe_initialize
+    dist_ctx = maybe_initialize()
     os.makedirs(args.out, exist_ok=True)
-    log.logger = log.Log(os.path.join(args.out, 'unicycler_tpu.log'),
+    if dist_ctx.active and not dist_ctx.is_main:
+        args.verbosity = 0
+    log.logger = log.Log(os.path.join(args.out, 'unicycler_tpu.log')
+                         if (not dist_ctx.active or dist_ctx.is_main)
+                         else None,
                          stdout_verbosity_level=args.verbosity)
 
     short_reads_available = bool(args.short1) or bool(args.unpaired)
