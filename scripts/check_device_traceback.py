@@ -94,6 +94,35 @@ def main():
         print(f'{name}: {len(tasks) - bad}/{len(tasks)} match')
         if bad:
             sys.exit(1)
+    # two-phase path (scores first, walk all): must equal one-phase
+    from unicycler_tpu.ops.banded import align_banded_async, collect_many
+    import os
+    os.environ['UNICYCLER_TPU_TWO_PHASE'] = '1'
+    h = align_banded_async(tasks, scoring, config=SEMI_GLOBAL, band=75,
+                           need_cigar=True, two_phase=True)
+    got2 = collect_many([h])[0]
+    want2 = align_banded(tasks, scoring, config=SEMI_GLOBAL, band=75)
+    bad = sum(1 for g, w in zip(got2, want2)
+              if (g.score, g.cigar, g.s1_start, g.s1_end)
+              != (w.score, w.cigar, w.s1_start, w.s1_end))
+    print(f'two-phase: {len(tasks) - bad}/{len(tasks)} match')
+    if bad:
+        sys.exit(1)
+    # two-phase with a keep subset: losers come back score-only
+    keep_half = set(range(0, len(tasks), 2))
+    h = align_banded_async(tasks, scoring, config=SEMI_GLOBAL, band=75,
+                           need_cigar=True, two_phase=True)
+    got3 = collect_many([h], keep_fn=lambda hi, scores: keep_half)[0]
+    bad = 0
+    for ti, (g, w) in enumerate(zip(got3, want2)):
+        if ti in keep_half:
+            ok = (g.score, g.cigar) == (w.score, w.cigar)
+        else:
+            ok = g.score == w.score and g.cigar == [] and g.s1_end == 0
+        bad += 0 if ok else 1
+    print(f'two-phase keep-subset: {len(tasks) - bad}/{len(tasks)} match')
+    if bad:
+        sys.exit(1)
     print('ALL PARITY CHECKS PASSED on', jax.devices()[0].platform)
 
 
