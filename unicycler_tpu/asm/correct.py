@@ -57,11 +57,31 @@ def canonical_packed(kmers: np.ndarray, k: int) -> np.ndarray:
     return np.minimum(kmers, revcomp_packed(kmers, k))
 
 
+def _joined(read_code_arrays, chunk_bases=8_000_000):
+    """Reads concatenated with one invalid-base separator, in bounded
+    chunks; also yields the read id of every base. Windows spanning a
+    boundary contain the separator and fail pack_kmers' validity mask,
+    so k-mer sets equal per-read extraction without a numpy call per
+    read (the per-read loop was half the correction stage's time)."""
+    sep = np.array([4], np.uint8)
+    buf, ids, total = [], [], 0
+    for ri, codes in enumerate(read_code_arrays):
+        buf.append(codes.astype(np.uint8, copy=False))
+        buf.append(sep)
+        ids.append(np.full(len(codes) + 1, ri, np.int64))
+        total += len(codes) + 1
+        if total >= chunk_bases:
+            yield np.concatenate(buf), np.concatenate(ids)
+            buf, ids, total = [], [], 0
+    if buf:
+        yield np.concatenate(buf), np.concatenate(ids)
+
+
 def count_spectrum(read_code_arrays, k: int):
     """(sorted unique canonical k-mers, counts) over all reads."""
     chunks = []
-    for codes in read_code_arrays:
-        km, valid = pack_kmers(codes, k)
+    for joined, _ in _joined(read_code_arrays):
+        km, valid = pack_kmers(joined, k)
         if len(km):
             chunks.append(canonical_packed(km[valid], k))
     if not chunks:
@@ -201,10 +221,26 @@ def correct_reads(read_code_arrays: List[np.ndarray], k: int = 21,
     Replaces the SPAdes read-error-correction stage the reference runs by
     default (ref unicycler/spades_func.py:220-252)."""
     spectrum = KmerSpectrum(read_code_arrays, k, threshold)
+    # batched screen: one joined pack + spectrum lookup marks the reads
+    # that contain any weak (non-solid, valid) k-mer; only those enter
+    # the per-read repair loop (~20% on 1%-error Illumina)
+    has_weak = np.zeros(len(read_code_arrays), bool)
+    for joined, ids in _joined(read_code_arrays):
+        km, valid = pack_kmers(joined, k)
+        if not len(km):
+            continue
+        solid, _ = spectrum.lookup(canonical_packed(km, k))
+        weak = ~(solid | ~valid)
+        widx = np.nonzero(weak)[0]
+        if len(widx):
+            has_weak[np.unique(ids[widx])] = True
     n_reads_fixed = 0
     n_subs = 0
     out = []
-    for codes in read_code_arrays:
+    for ri, codes in enumerate(read_code_arrays):
+        if not has_weak[ri]:
+            out.append(codes)
+            continue
         fixed, n = correct_read(codes, spectrum)
         out.append(fixed)
         if n:

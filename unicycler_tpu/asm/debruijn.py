@@ -97,6 +97,27 @@ def _canonical_kmers(codes, k):
     return np.where(fwd_smaller[:, None], km, rc)
 
 
+def _joined_chunks(code_arrays, k):
+    """Concatenate code arrays with one invalid-code separator between
+    them, in bounded-size chunks: windows that span a boundary contain
+    the separator (> 3) and are dropped by _kmer_matrix's validity mask,
+    so the k-mer set is IDENTICAL to per-array extraction — without a
+    Python-level numpy call per read (the round-1 profile spent half the
+    assembly stage in 900k per-read _canonical_kmers calls)."""
+    sep = np.array([4], np.uint8)
+    chunk_bases = max(500_000, 64_000_000 // max(k, 1))
+    buf, total = [], 0
+    for codes in code_arrays:
+        buf.append(codes.astype(np.uint8, copy=False))
+        buf.append(sep)
+        total += len(codes) + 1
+        if total >= chunk_bases:
+            yield np.concatenate(buf)
+            buf, total = [], 0
+    if buf:
+        yield np.concatenate(buf)
+
+
 def count_kmers(read_code_arrays, k, min_count=2, carried=None):
     """Canonical k-mer counts above min_count: returns ((m, k) uint8
     canonical k-mer matrix, counts).
@@ -107,7 +128,7 @@ def count_kmers(read_code_arrays, k, min_count=2, carried=None):
     them) and enter with the depth estimated at the previous k, so
     coverage gaps that a smaller k bridged stay connected at larger k."""
     chunks = []
-    for codes in read_code_arrays:
+    for codes in _joined_chunks(read_code_arrays, k):
         cm = _canonical_kmers(codes, k)
         if len(cm):
             chunks.append(cm)
@@ -123,7 +144,7 @@ def count_kmers(read_code_arrays, k, min_count=2, carried=None):
     if carried:
         ex_chunks, ex_counts = [], []
         for codes, depth in carried:
-            cm = _canonical_kmers(codes, k)
+            cm = _canonical_kmers(codes.astype(np.uint8, copy=False), k)
             if len(cm):
                 ex_chunks.append(cm)
                 ex_counts.append(np.full(len(cm), max(1, round(depth)),

@@ -286,9 +286,30 @@ def create_long_read_bridges(graph, read_dict, read_names, anchor_segments,
             read_lengths[read.get_length()] += 1
     estimated_genome_size = graph.get_estimated_sequence_len()
 
-    for bridge in new_bridges:
-        bridge.finalise(scoring_scheme, min_alignment_length, read_lengths,
-                        estimated_genome_size, expected_linear_seqs)
+    # Finalise on a thread pool, biggest jobs first (the reference's own
+    # structure, ref bridge_long_read.py:543-559). Each finalisation is
+    # a chain of device align calls whose dispatch/fetch round trips
+    # dominate on a remote device; the blocking fetches release the GIL,
+    # so concurrent finalisations overlap their round trips while the
+    # device serialises the (small) kernel work. Results are
+    # bridge-local, so thread scheduling cannot affect outputs.
+    order = sorted(range(len(new_bridges)),
+                   key=lambda i: -sum(
+                       len(x[0]) for x in new_bridges[i].reads
+                       if not isinstance(x[0], int)))
+
+    def _finalise(i):
+        new_bridges[i].finalise(scoring_scheme, min_alignment_length,
+                                read_lengths, estimated_genome_size,
+                                expected_linear_seqs)
+
+    if len(new_bridges) > 1 and threads > 1:
+        from multiprocessing.dummy import Pool as ThreadPool
+        with ThreadPool(min(threads, 8)) as pool:
+            list(pool.imap_unordered(_finalise, order))
+    else:
+        for i in order:
+            _finalise(i)
 
     # Split bridges whose path passes through anchor segments (ref :561-591)
     split_bridges = []

@@ -65,9 +65,14 @@ def _select_shifted(x, si, shifts):
     return out
 
 
-def _prefix_cummax(x):
-    """Inclusive prefix max along lanes via a log ladder of static rolls."""
+def _prefix_cummax(x, max_dist=None):
+    """Inclusive prefix max along lanes via a log ladder of static rolls.
+    max_dist bounds the propagation distance actually needed (the tape
+    kernel's E chain cannot span more than the band width, which is
+    narrower than its region frame — one ladder step saved)."""
     W = x.shape[1]
+    if max_dist is not None:
+        W = min(W, max_dist + 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     d = 1
     while d < W:

@@ -211,7 +211,7 @@ def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
                 g = jnp.maximum(diag, jnp.where(valid_ef, f_new, NEG))
 
                 cvec = g + open_ - (lane + 1) * ext
-                cmax = _prefix_cummax(cvec)
+                cmax = _prefix_cummax(cvec, max_dist=W - 1)
                 e = _shift_right_one(cmax) + lane * ext
                 e = jnp.where(valid_ef & (e > NEG // 2), e, NEG)
 
@@ -380,7 +380,7 @@ def _make_tape_kernel_rolled(T, W, GWp, bt, scoring: Scoring,
             g = jnp.maximum(diag, jnp.where(valid_ef, f, NEG))
 
             cvec = g + open_ - (lane + 1) * ext
-            cmax = _prefix_cummax(cvec)
+            cmax = _prefix_cummax(cvec, max_dist=W - 1)
             e = _shift_right_one(cmax) + lane * ext
             e = jnp.where(valid_ef & (e > NEG // 2), e, NEG)
 

@@ -19,7 +19,16 @@ from collections import defaultdict
 from contextlib import contextmanager
 
 _enabled = os.environ.get('UNICYCLER_TPU_TRACE') == '1'
-_stack = []
+_tls = __import__('threading').local()
+
+
+def _get_stack():
+    # per-thread span stacks: bridge finalisation runs span-bearing
+    # device calls on a thread pool
+    st = getattr(_tls, 'stack', None)
+    if st is None:
+        st = _tls.stack = []
+    return st
 _spans = {}          # path -> [total_time, calls]
 _counters = defaultdict(float)
 
@@ -39,7 +48,7 @@ def is_enabled():
 
 
 def reset():
-    _stack.clear()
+    _get_stack().clear()
     _spans.clear()
     _counters.clear()
 
@@ -50,6 +59,7 @@ def span(name):
     if not _enabled:
         yield
         return
+    _stack = _get_stack()
     _stack.append(name)
     path = '/'.join(_stack)
     t0 = time.time()
