@@ -189,29 +189,22 @@ class DeBruijnGraph(object):
         first_idx.sort()
         self.oriented = self.oriented[first_idx]
         self.oriented_counts = self.oriented_counts[first_idx]
-        self.prefixes = _void_view(
-            np.ascontiguousarray(self.oriented[:, :-1]))
-        self.suffixes = _void_view(
-            np.ascontiguousarray(self.oriented[:, 1:]))
-        self.by_prefix = np.argsort(self.prefixes, kind='stable')
-        self.prefix_sorted = self.prefixes[self.by_prefix]
-        # degree maps over (k-1)-mer nodes
-        self._out_deg = {}
-        self._in_deg = {}
-        for p in self.prefixes:
-            self._out_deg[p.tobytes()] = \
-                self._out_deg.get(p.tobytes(), 0) + 1
-        for s in self.suffixes:
-            self._in_deg[s.tobytes()] = self._in_deg.get(s.tobytes(), 0) + 1
-
-    def successors(self, node_void):
-        lo = np.searchsorted(self.prefix_sorted, node_void, side='left')
-        hi = np.searchsorted(self.prefix_sorted, node_void, side='right')
-        return self.by_prefix[lo:hi]
-
-    def is_branch(self, node_bytes):
-        return self._out_deg.get(node_bytes, 0) != 1 or \
-            self._in_deg.get(node_bytes, 0) != 1
+        # (k-1)-mer nodes as dense integer ids: degree counts, branch
+        # flags, and the unique out-edge are plain arrays, so the unitig
+        # walk is O(1) array indexing per step (dict-of-bytes degree
+        # maps cost ~50s of tobytes/dict traffic per sample_data run)
+        pre_v = _void_view(np.ascontiguousarray(self.oriented[:, :-1]))
+        suf_v = _void_view(np.ascontiguousarray(self.oriented[:, 1:]))
+        nodes = np.unique(np.concatenate([pre_v, suf_v]))
+        self.pre_id = np.searchsorted(nodes, pre_v)
+        self.suf_id = np.searchsorted(nodes, suf_v)
+        n_nodes = len(nodes)
+        out_deg = np.bincount(self.pre_id, minlength=n_nodes)
+        in_deg = np.bincount(self.suf_id, minlength=n_nodes)
+        self.branchy = (out_deg != 1) | (in_deg != 1)
+        self.only_out = np.full(n_nodes, -1, np.int64)
+        single = (out_deg == 1)[self.pre_id]
+        self.only_out[self.pre_id[single]] = np.nonzero(single)[0]
 
 
 def build_unitigs(kmers, counts, k):
@@ -234,25 +227,22 @@ def build_unitigs(kmers, counts, k):
         rows = [start_row]
         edge_used[start_row] = True
         edge_used[twin[start_row]] = True
-        current_v = g.suffixes[start_row]
-        while not g.is_branch(current_v.tobytes()):
-            nxt = g.successors(current_v)
-            if len(nxt) != 1:
-                break
-            r = int(nxt[0])
-            if edge_used[r]:
+        cur = g.suf_id[start_row]
+        while not g.branchy[cur]:
+            r = int(g.only_out[cur])
+            if r < 0 or edge_used[r]:
                 break
             rows.append(r)
             edge_used[r] = True
             edge_used[twin[r]] = True
-            current_v = g.suffixes[r]
+            cur = g.suf_id[r]
         return rows
 
     unitigs = []
     for i in range(n_edges):
         if edge_used[i]:
             continue
-        if g.is_branch(g.prefixes[i].tobytes()):
+        if g.branchy[g.pre_id[i]]:
             unitigs.append(walk(i))
     for i in range(n_edges):       # cycles with no branch points
         if not edge_used[i]:

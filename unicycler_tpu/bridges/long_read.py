@@ -73,8 +73,10 @@ class LongReadBridge(object):
                 reads_without_seq = []
 
         if reads_with_seq:
-            self.consensus_sequence = get_consensus_sequence(reads_with_seq,
-                                                             scoring_scheme)
+            from ..utils import trace
+            with trace.span('bridge_consensus'):
+                self.consensus_sequence = get_consensus_sequence(
+                    reads_with_seq, scoring_scheme)
             num_span_reads = len(self.reads)
             expected_scaled_score = 100.0 * (
                 (1.0 - mean_alignment_scaled_score / 100.0)
@@ -91,10 +93,12 @@ class LongReadBridge(object):
             target_path_length = 0
             expected_scaled_score = 100.0
 
-        self.all_paths, _ = get_best_paths_for_seq(
-            self.graph, self.start_segment, self.end_segment,
-            target_path_length, self.consensus_sequence, scoring_scheme,
-            expected_scaled_score)
+        from ..utils import trace
+        with trace.span('bridge_path_search'):
+            self.all_paths, _ = get_best_paths_for_seq(
+                self.graph, self.start_segment, self.end_segment,
+                target_path_length, self.consensus_sequence, scoring_scheme,
+                expected_scaled_score)
 
         if self.all_paths:
             self.graph_path = self.all_paths[0][0]

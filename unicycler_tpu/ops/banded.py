@@ -628,6 +628,7 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
     for tp in launches:
         trace.add('tape.launches')
         trace.add('tape.rows', tp.L_real)
+        trace.add('tape.rows.W%d.bt%d' % (W, tp.qf.shape[0]), tp.L)
         per_task = tuple(put(a) for a in
                          (tp.cbase, tp.c0m, tp.c_n, tp.m_t, tp.n_t,
                           tp.r_base, tp.seg_start, tp.reset_slot,
