@@ -65,10 +65,13 @@ class MMAlignment(object):
             return 0.0
 
 
-def map_read(index, read, ref_names, ref_lengths, k):
-    """Map one read against the index, PAF-style hits."""
+def map_read(index, read, ref_names, ref_lengths, k, clusters=None):
+    """Map one read against the index, PAF-style hits. `clusters` skips
+    the per-read lookup when the caller batched it (lookup_many)."""
     hits = []
-    for cl in index.lookup(read.codes):
+    if clusters is None:
+        clusters = index.lookup(read.codes)
+    for cl in clusters:
         read_len = read.get_length()
         if cl.rev_comp:
             # cluster coords are on the revcomp read; flip to forward
@@ -99,8 +102,12 @@ def map_reads(references, reads, k=15, w=10, filter_by_minimisers=False,
     ref_lengths = [r.get_length() for r in references]
     index = mz.MinimizerIndex([r.codes for r in references], k=k, w=w)
     alignments = defaultdict(list)
-    for read in reads:
-        hits = map_read(index, read, ref_names, ref_lengths, k)
+    # one batched sketch+probe for the whole read set (identical output
+    # to per-read lookup; the per-read overhead dominated polish rounds)
+    all_clusters = index.lookup_many([r.codes for r in reads])
+    for read, clusters in zip(reads, all_clusters):
+        hits = map_read(index, read, ref_names, ref_lengths, k,
+                        clusters=clusters)
         if not hits:
             continue
         hits.sort(key=lambda x: x.minimiser_count, reverse=True)

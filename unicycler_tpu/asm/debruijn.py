@@ -372,9 +372,11 @@ def resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
     # fragment, mate 2 reverse).
     votes = defaultdict(list)
     step = max(1, len(pairs_1) // max_pairs)
-    for c1, c2 in zip(pairs_1[::step], pairs_2[::step]):
-        h1 = index.lookup(c1, min_hits=2)
-        h2 = index.lookup(c2, min_hits=2)
+    sel_1 = pairs_1[::step]
+    sel_2 = pairs_2[::step]
+    h1_all = index.lookup_many(sel_1, min_hits=2)
+    h2_all = index.lookup_many(sel_2, min_hits=2)
+    for c1, c2, h1, h2 in zip(sel_1, sel_2, h1_all, h2_all):
         if len(h1) != 1 or len(h2) != 1:
             continue
         a, b = h1[0], h2[0]
@@ -498,10 +500,14 @@ def estimate_insert_size(read_codes_1, read_codes_2, unitigs, k):
     n_pairs = min(len(read_codes_1), len(read_codes_2))
     sel = np.unique(np.linspace(0, n_pairs - 1,
                                 min(2000, n_pairs)).astype(np.int64))
-    for si in sel:
+    sel_c1 = [read_codes_1[si] for si in sel]
+    sel_c2 = [read_codes_2[si] for si in sel]
+    h1_all = index.lookup_many(sel_c1, min_hits=2)
+    h2_all = index.lookup_many(sel_c2, min_hits=2)
+    for ii, si in enumerate(sel):
         c1, c2 = read_codes_1[si], read_codes_2[si]
-        h1 = index.lookup(c1, min_hits=2)
-        h2 = index.lookup(c2, min_hits=2)
+        h1 = h1_all[ii]
+        h2 = h2_all[ii]
         if len(h1) != 1 or len(h2) != 1:
             continue
         a, b = h1[0], h2[0]

@@ -130,6 +130,45 @@ def _sliding_argmin(v: np.ndarray, w: int) -> np.ndarray:
     return np.where(svals <= pvals, sarg, parg)
 
 
+def _sketch_joined(joined, offsets, lengths, gap, k, w):
+    """sketch() over many sequences concatenated with `gap` invalid
+    bases between them: identical minimisers to per-sequence sketching,
+    because only windows lying fully inside one sequence's valid k-mer
+    range may select (boundary-spanning windows would otherwise emit
+    partial-window minima that per-sequence sketching never produces)."""
+    kmers, valid = _kmer_codes(joined, k)
+    n = len(kmers)
+    empty = Minimizers(np.zeros(0, np.uint64), np.zeros(0, np.int32),
+                       np.zeros(0, np.int8))
+    if n <= w:
+        return empty
+    mask = (1 << (2 * k)) - 1
+    fwd = _hash64(kmers, mask)
+    rev = _hash64(_revcomp_kmers(kmers, k), mask)
+    strand = (rev < fwd).astype(np.int8)
+    canon = np.where(strand == 1, rev, fwd)
+    ok = valid & (fwd != rev)
+    canon = np.where(ok, canon, np.uint64(np.iinfo(np.uint64).max))
+
+    # read id per k-mer start; k-mers touching a separator get -1
+    n_reads = len(offsets)
+    counts_valid = np.maximum(lengths - k + 1, 0)
+    counts_rest = (lengths + gap) - counts_valid
+    rid = np.repeat(
+        np.stack([np.arange(n_reads, dtype=np.int64),
+                  np.full(n_reads, -1, np.int64)], 1).ravel(),
+        np.stack([counts_valid, counts_rest], 1).ravel())[:n]
+
+    args = _sliding_argmin(canon, w)
+    win_ids = rid[:n - w + 1]
+    win_ok = (win_ids >= 0) & (rid[w - 1:n] == win_ids)
+    if not win_ok.any():
+        return empty
+    sel = np.unique(args[win_ok])
+    sel = sel[ok[sel]]
+    return Minimizers(canon[sel], sel.astype(np.int32), strand[sel])
+
+
 class SeedHitCluster(NamedTuple):
     """A candidate alignment region: read vs one reference strand."""
     ref_id: int
@@ -227,6 +266,75 @@ class MinimizerIndex(object):
         t_ids = self.ref_ids[flat]
         t_pos = self.positions[flat]
         t_str = self.strands[flat]
+        return self._cluster_hits(read_len, r_pos, r_str, t_ids, t_pos,
+                                  t_str, cluster_radius, min_hits)
+
+    def lookup_many(self, code_arrays, cluster_radius: int = 500,
+                    min_hits: int = 3):
+        """lookup() over MANY (typically short) sequences with ONE
+        batched sketch and index probe: the sequences join with >= w
+        invalid bases between them (each invalid base voids k >= w
+        consecutive k-mers, so no window can carry a minimiser across a
+        boundary), minimisers map back to their sequence by offset, and
+        only the per-sequence diagonal clustering stays in the loop.
+        Returns a list of cluster lists, one per input. Per-read
+        sketch+probe overhead dominated the short-read polish and
+        paired-end stages (~0.45 ms x 100k reads per round)."""
+        if not code_arrays:
+            return []
+        k, w = self.k, self.w
+        out = [[] for _ in code_arrays]
+        gap = max(1, w)
+        sep = np.full(gap, 4, np.int8)
+        parts, offsets, off = [], [], 0
+        short = []          # too few k-mers for any full window
+        for ri, codes in enumerate(code_arrays):
+            offsets.append(off)
+            parts.append(codes)
+            parts.append(sep)
+            off += len(codes) + gap
+            if len(codes) - k + 1 < w:
+                short.append(ri)
+        offsets = np.array(offsets, np.int64)
+        joined = np.concatenate(parts)
+        mins = _sketch_joined(joined, offsets,
+                              np.array([len(c) for c in code_arrays],
+                                       np.int64), gap, k, w)
+        for ri in short:    # per-read special case (< w k-mers)
+            out[ri] = self.lookup(code_arrays[ri],
+                                  cluster_radius=cluster_radius,
+                                  min_hits=min_hits)
+        if len(mins.hashes) == 0:
+            return out
+        seq_of = np.searchsorted(offsets, mins.pos, side='right') - 1
+        local_pos = (mins.pos - offsets[seq_of]).astype(np.int32)
+        lo = np.searchsorted(self.hashes, mins.hashes, side='left')
+        hi = np.searchsorted(self.hashes, mins.hashes, side='right')
+        counts = hi - lo
+        if counts.sum() == 0:
+            return out
+        read_idx = np.repeat(np.arange(len(mins.hashes)), counts)
+        flat = _expand_ranges(lo, counts)
+        seq_ids = seq_of[read_idx]
+        r_pos = local_pos[read_idx]
+        r_str = mins.strand[read_idx]
+        t_ids = self.ref_ids[flat]
+        t_pos = self.positions[flat]
+        t_str = self.strands[flat]
+        order = np.argsort(seq_ids, kind='stable')
+        bounds = np.searchsorted(seq_ids[order], np.arange(
+            len(code_arrays) + 1))
+        for si in range(len(code_arrays)):
+            sl = order[bounds[si]:bounds[si + 1]]
+            if len(sl) < min_hits:
+                continue
+            out[si] = self._cluster_hits(
+                len(code_arrays[si]), r_pos[sl], r_str[sl], t_ids[sl],
+                t_pos[sl], t_str[sl], cluster_radius, min_hits)
+        return out
+
+    def _cluster_hits(self, read_len, r_pos, r_str, t_ids, t_pos, t_str,
+                      cluster_radius, min_hits):
         rev = (r_str != t_str)  # relative strand
 
         clusters = []
