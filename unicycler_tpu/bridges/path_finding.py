@@ -93,28 +93,36 @@ def all_paths(graph, start, end, min_length, max_length):
     start_end_depth = weighted_average(start_seg.depth, end_seg.depth,
                                        start_seg.get_length(),
                                        end_seg.get_length())
-    working_paths = [[x] for x in graph.forward_links[start]]
+
+    # Path lengths are tracked incrementally: recomputing
+    # get_path_length per candidate per BFS level made the search
+    # O(paths x length^2) and dominated bridge finalisation.
+    def seg_len(s):
+        return graph.segments[abs(s)].get_length()
+
+    end_len = seg_len(end) if abs(end) in graph.segments else 0
+    working_paths = [([x], seg_len(x)) for x in graph.forward_links[start]]
     final_paths = []
     while working_paths:
         new_working_paths = []
-        for working_path in working_paths:
+        for working_path, wlen in working_paths:
             last_seg = working_path[-1]
             if last_seg == end:
-                candidate = working_path[:-1]
-                if graph.get_path_length(candidate) >= min_length:
-                    final_paths.append(candidate)
+                if wlen - end_len >= min_length:
+                    final_paths.append(working_path[:-1])
                     if len(final_paths) > \
                             settings.ALL_PATH_SEARCH_MAX_FINAL_PATHS:
                         raise TooManyPaths
-            elif graph.get_path_length(working_path) <= max_length and \
-                    last_seg in graph.forward_links:
+            elif wlen <= max_length and last_seg in graph.forward_links:
                 for next_seg in graph.forward_links[last_seg]:
                     max_count = graph.max_path_segment_count(next_seg,
                                                              start_end_depth)
                     count = (working_path.count(next_seg)
                              + working_path.count(-next_seg))
                     if count < max_count:
-                        new_working_paths.append(working_path + [next_seg])
+                        new_working_paths.append(
+                            (working_path + [next_seg],
+                             wlen + seg_len(next_seg)))
         if len(working_paths) > settings.ALL_PATH_SEARCH_MAX_WORKING_PATHS:
             raise TooManyPaths
         working_paths = new_working_paths
@@ -127,8 +135,16 @@ def progressive_path_find(graph, start, end, min_length, max_length,
     (ref path_finding.py:145-212)."""
     reverse_sequence = reverse_complement(sequence)
     final_paths = set()
-    forward_working_paths = [[start]]
-    reverse_working_paths = [[-end]]
+
+    def seg_len(s):
+        return graph.segments[abs(s)].get_length()
+
+    # working paths carry their total length (incl. the seed segment);
+    # lengths excluding the seed subtract its constant size
+    forward_working_paths = [([start], seg_len(start))]
+    reverse_working_paths = [([-end], seg_len(end))]
+    fwd_seed_len = seg_len(start)
+    rev_seed_len = seg_len(end)
 
     start_seg = graph.segments[abs(start)]
     end_seg = graph.segments[abs(end)]
@@ -140,28 +156,32 @@ def progressive_path_find(graph, start, end, min_length, max_length,
 
     while True:
         if not forward_clogged:
-            shortest_reverse = min(graph.get_path_length(x[1:])
-                                   for x in reverse_working_paths)
-            reverse_dict = build_path_dictionary(reverse_working_paths)
+            shortest_reverse = min(l for _, l in reverse_working_paths) \
+                - rev_seed_len
+            reverse_dict = build_path_dictionary(
+                [p for p, _ in reverse_working_paths])
             forward_working_paths = advance_paths(
                 forward_working_paths, reverse_dict, shortest_reverse,
                 final_paths, False, sequence, scoring_scheme,
                 expected_scaled_score, graph, start_end_depth, max_length,
-                settings.PROGRESSIVE_PATH_SEARCH_SCORE_FRACTION)
+                settings.PROGRESSIVE_PATH_SEARCH_SCORE_FRACTION,
+                fwd_seed_len)
             if not forward_working_paths:
                 break
             elif len(forward_working_paths) > \
                     settings.PROGRESSIVE_PATH_SEARCH_MAX_WORKING_PATHS:
                 forward_clogged = True
         if not reverse_clogged:
-            shortest_forward = min(graph.get_path_length(x[1:])
-                                   for x in forward_working_paths)
-            forward_dict = build_path_dictionary(forward_working_paths)
+            shortest_forward = min(l for _, l in forward_working_paths) \
+                - fwd_seed_len
+            forward_dict = build_path_dictionary(
+                [p for p, _ in forward_working_paths])
             reverse_working_paths = advance_paths(
                 reverse_working_paths, forward_dict, shortest_forward,
                 final_paths, True, reverse_sequence, scoring_scheme,
                 expected_scaled_score, graph, start_end_depth, max_length,
-                settings.PROGRESSIVE_PATH_SEARCH_SCORE_FRACTION)
+                settings.PROGRESSIVE_PATH_SEARCH_SCORE_FRACTION,
+                rev_seed_len)
             if not reverse_working_paths:
                 break
             elif len(reverse_working_paths) > \
@@ -190,19 +210,23 @@ def reverse_path(path):
 def advance_paths(working_paths, opposite_paths_dict, shortest_opposite_path,
                   final_paths, flip_new_final_paths, sequence, scoring_scheme,
                   expected_scaled_score, graph, start_end_depth,
-                  total_max_length, cull_score_fraction):
-    """Extend one direction's working paths (ref path_finding.py:235-294)."""
+                  total_max_length, cull_score_fraction, seed_len):
+    """Extend one direction's working paths (ref path_finding.py:235-294).
+    working_paths entries are (path, total_length) pairs."""
     max_length = total_max_length - shortest_opposite_path
+
+    def seg_len(s):
+        return graph.segments[abs(s)].get_length()
+
     while True:
         if not 0 < len(working_paths) <= \
                 settings.PROGRESSIVE_PATH_SEARCH_MAX_WORKING_PATHS:
             break
-        shortest_path_len = min(graph.get_path_length(x)
-                                for x in working_paths)
+        shortest_path_len = min(l for _, l in working_paths)
         new_working_paths = []
-        for path in working_paths:
-            if graph.get_path_length(path) > shortest_path_len:
-                new_working_paths.append(path)
+        for path, plen in working_paths:
+            if plen > shortest_path_len:
+                new_working_paths.append((path, plen))
             elif path[-1] in graph.forward_links:
                 for next_seg in graph.forward_links[path[-1]]:
                     max_count = graph.max_path_segment_count(next_seg,
@@ -215,15 +239,18 @@ def advance_paths(working_paths, opposite_paths_dict, shortest_opposite_path,
                                 if flip_new_final_paths:
                                     final_path = reverse_path(final_path)
                                 final_paths.add(tuple(final_path))
-                        if graph.get_path_length(path[1:] + [next_seg]) \
-                                <= max_length:
-                            new_working_paths.append(path + [next_seg])
+                        nlen = plen + seg_len(next_seg)
+                        if nlen - seed_len <= max_length:
+                            new_working_paths.append(
+                                (path + [next_seg], nlen))
         working_paths = new_working_paths
 
     if len(working_paths) > settings.PROGRESSIVE_PATH_SEARCH_MAX_WORKING_PATHS:
-        working_paths = cull_paths(graph, working_paths, sequence,
-                                   scoring_scheme, expected_scaled_score,
-                                   cull_score_fraction)
+        culled = cull_paths(graph, [p for p, _ in working_paths], sequence,
+                            scoring_scheme, expected_scaled_score,
+                            cull_score_fraction)
+        working_paths = [(p, seed_len + graph.get_path_length(p[1:]))
+                         for p in culled]
     return working_paths
 
 
