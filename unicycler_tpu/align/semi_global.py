@@ -395,7 +395,7 @@ def align_reads_to_refs(reads, references, scoring_scheme,
     # empty for most calls (one fewer dispatch/fetch round trip).
     band = settings.BAND_SIZES[min(sensitivity_level,
                                    len(settings.BAND_SIZES) - 1)]
-    pass_W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
+    pass_W = banded_ops.band_width(band)
     refine_alignments = []
     for read in reads:
         for alignment in read.alignments:

@@ -389,6 +389,18 @@ class BandedTask(NamedTuple):
     corridor_ref: np.ndarray
 
 
+def band_width(band):
+    """Static lane width for a requested band radius. Above 512 lanes the
+    width rounds UP to a power of two: wide bands come from data-dependent
+    radii (consensus-vs-path length spreads), and every distinct width is
+    a separate multi-minute Mosaic compile; a wider band only adds
+    reachable cells, so rounding up never loses alignments."""
+    W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
+    if W > 512:
+        W = 1 << int(np.ceil(np.log2(W)))
+    return W
+
+
 def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
                  band: int = 25, need_cigar: bool = True
                  ) -> List[PairAlignment]:
@@ -399,7 +411,7 @@ def align_banded(tasks: List[BandedTask], scoring, config=SEMI_GLOBAL,
     if not tasks:
         return []
     from .encode import bucket_length, pad_to, Q_PAD
-    W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
+    W = band_width(band)
     from ..parallel.mesh import get_default_mesh
     on_cpu = jax.devices()[0].platform == 'cpu'
     mesh = get_default_mesh()
@@ -988,7 +1000,7 @@ def align_banded_async(tasks, scoring, config=SEMI_GLOBAL, band=25,
     plain_tape = not on_cpu and not (
         mesh is not None and mesh.devices.size > 1)
     if plain_tape:
-        W = max(128, int(np.ceil((2 * band + 1) / 128.0)) * 128)
+        W = band_width(band)
         return _AsyncAlign(tasks, scoring, config, W, need_cigar,
                            two_phase=two_phase)
     return _SyncAlign(lambda: align_banded(tasks, scoring, config=config,
