@@ -152,8 +152,14 @@ def _build_one(tasks, assign, L_real, W, bt, build_corridor) -> TapeLaunch:
     Every task start is SEG_ALIGN-aligned (its padded length is a
     multiple of SEG_ALIGN), so resets land on group boundaries."""
     # rows quantum: the largest chunk size _chunk_rows can pick, so any
-    # bucketed L divides evenly into grid chunks
-    L = _bucket_geom(max(L_real, 512), 512, 256)
+    # bucketed L divides evenly into grid chunks. Wide-band launches
+    # (W > 512: the rolled-kernel family) bucket coarsely — each variant
+    # is a multi-minute Mosaic compile and they see few reuses, so shape
+    # count matters more than pad rows there.
+    if W > 512:
+        L = _bucket_geom(max(L_real, 512), 512, 256, ratio=1.5)
+    else:
+        L = _bucket_geom(max(L_real, 512), 512, 256)
     TT = _bucket_pow2(max(max(len(a) for a in assign), 8), 8)
 
     qf = np.full((bt, L), Q_PAD, np.uint8)
