@@ -754,10 +754,12 @@ def tape_traceback(moves, c_rel, jr_rows, n_tasks, end_abs, end_j,
     # Rows per grid step: capped so the (T/8, GWp) int32 SMEM moves
     # window stays within the scalar memory budget (wide-band launches,
     # e.g. 60 kb consensus-vs-path alignments at W=2048+, otherwise
-    # request >500 KB scoped SMEM and fail to compile). L is a multiple
-    # of 256, so every halving still divides it.
+    # request >500 KB scoped SMEM and fail to compile). Floor 64: the
+    # window's second-to-last dim (T/8) must stay 8-divisible, so the
+    # widest bands accept a ~270 KB double-buffered window instead. L is
+    # a multiple of 256, so every halving still divides it.
     T = min(L, 256)
-    while T > 8 and (T // 8) * GWp * 4 > 96 * 1024:
+    while T > 64 and (T // 8) * GWp * 4 > 96 * 1024:
         T //= 2
     n_chunks = L // T
     kernel = _make_tape_traceback_kernel(T, W, GWp, n_chunks, TT)
