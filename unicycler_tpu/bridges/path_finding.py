@@ -37,14 +37,19 @@ def get_best_paths_for_seq(graph, start_seg, end_seg, target_length,
                      target_length
                      + settings.RELATIVE_PATH_LENGTH_BUFFER_SIZE)
 
+    from ..utils import trace
     try:
-        paths = all_paths(graph, start_seg, end_seg, min_length, max_length)
+        with trace.span('path_bfs'):
+            paths = all_paths(graph, start_seg, end_seg, min_length,
+                              max_length)
         progressive_path_search = False
     except TooManyPaths:
         progressive_path_search = True
-        paths = progressive_path_find(graph, start_seg, end_seg, min_length,
-                                      max_length, sequence, scoring_scheme,
-                                      expected_scaled_score)
+        with trace.span('path_progressive'):
+            paths = progressive_path_find(graph, start_seg, end_seg,
+                                          min_length, max_length, sequence,
+                                          scoring_scheme,
+                                          expected_scaled_score)
 
     paths = sorted(paths, key=lambda x: abs(target_length
                                             - graph.get_bridge_path_length(x)))
@@ -53,8 +58,9 @@ def get_best_paths_for_seq(graph, start_seg, end_seg, target_length,
     paths_and_scores = []
     if sequence:
         seq_codes = encode_sequence(sequence)
-        path_seqs = [encode_sequence(graph.get_path_sequence(p))
-                     for p in paths]
+        with trace.span('path_seq_build'):
+            path_seqs = [encode_sequence(graph.get_path_sequence(p))
+                         for p in paths]
         # One batched launch scores every candidate path.
         alignments = dispatch.batch_align(
             [seq_codes] * len(paths), path_seqs, scoring, pw.FULLY_GLOBAL,
@@ -283,9 +289,12 @@ def cull_paths(graph, paths, sequence, scoring_scheme, expected_scaled_score,
     shortest_len = min(graph.get_path_length(x[1:]) for x in paths)
     seq_after = encode_sequence(sequence[seq_align_start:])
     tails = []
-    for path in paths:
-        tail = graph.get_path_sequence(path[1:])[path_align_start:shortest_len]
-        tails.append(encode_sequence(tail))
+    from ..utils import trace
+    with trace.span('cull_tail_build'):
+        for path in paths:
+            tail = graph.get_path_sequence(
+                path[1:])[path_align_start:shortest_len]
+            tails.append(encode_sequence(tail))
     alignments = dispatch.batch_align(tails, [seq_after] * len(paths),
                                       scoring, pw.PATH_CONFIG, band=500)
     scored_paths = []
