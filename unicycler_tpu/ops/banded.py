@@ -614,10 +614,11 @@ def _sparse_cap(walk_rows, records):
     power of two (the cap is a static jit arg; raw values would compile
     a compress_records variant per launch)."""
     cap = max(4096, (walk_rows * 3) // 10)
-    b = 4096
+    b = 4096.0
     while b < cap:
-        b *= 2
-    return min(b, records.shape[0] * records.shape[1])
+        b *= 1.25          # ~30 bucketed variants; the fetch ships the
+    b = -(-int(b) // 512) * 512    # full (cap,) arrays, so granularity
+    return min(b, records.shape[0] * records.shape[1])   # costs bytes
 
 
 def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
