@@ -65,26 +65,32 @@ def _select_shifted(x, si, shifts):
     return out
 
 
+def _shift_right_neg(x, d):
+    """x shifted right by d lanes, left-filled with NEG, via static
+    slicing (lowers to a static lane shift — cheaper than the
+    roll + iota-compare + select formulation)."""
+    b = x.shape[0]
+    fill = jnp.full((b, d), NEG, x.dtype)
+    return jnp.concatenate([fill, x[:, :x.shape[1] - d]], axis=1)
+
+
 def _prefix_cummax(x, max_dist=None):
-    """Inclusive prefix max along lanes via a log ladder of static rolls.
-    max_dist bounds the propagation distance actually needed (the tape
-    kernel's E chain cannot span more than the band width, which is
-    narrower than its region frame — one ladder step saved)."""
+    """Inclusive prefix max along lanes via a log ladder of static
+    shifts. max_dist bounds the propagation distance actually needed
+    (the tape kernel's E chain cannot span more than the band width,
+    which is narrower than its region frame — one ladder step saved)."""
     W = x.shape[1]
     if max_dist is not None:
         W = min(W, max_dist + 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     d = 1
     while d < W:
-        shifted = jnp.where(lane >= d, pltpu.roll(x, d, 1), NEG)
-        x = jnp.maximum(x, shifted)
+        x = jnp.maximum(x, _shift_right_neg(x, d))
         d *= 2
     return x
 
 
 def _shift_right_one(x):
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), NEG)
+    return _shift_right_neg(x, 1)
 
 
 def pack_moves_rows(moves4):

@@ -85,6 +85,10 @@ def _chunk_rows(W, bt, minimum):
 
 def _lane_scalar(plane, lane_iota128, idx):
     """Extract lane `idx` of a (BT, 128) plane as a (BT, 1) vector."""
+    if isinstance(idx, int):
+        # static lane: a plain slice (one lane-broadcast op) beats the
+        # masked 128-lane sum-reduce the dynamic case needs
+        return plane[:, idx:idx + 1]
     return jnp.sum(jnp.where(lane_iota128 == idx, plane, 0), axis=1,
                    keepdims=True)
 
@@ -167,26 +171,31 @@ def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
             j = jr + lane
             lc_lane = j == m_col_g              # <=1 lane per track
             j1m_g = (j >= 1) & (j <= m_col_g)
-            j0m_g = (j >= 0) & (j <= m_col_g)
             col0_g = (j == 0) & (m_col_g >= 0)
             lcm_g = lc_lane & (m_col_g >= 0)
+            # group-level decode of the packed per-row metadata: one op
+            # over the (BT, 128) plane instead of per-row (BT, 1) ops
+            d_pl = grp & 255
+            cap_pl = grp & 256
+            act_pl = grp & 512
+            qv_pl = (grp >> 16) & 255
             # per-lane running best-lastcol within this group (reduced
             # once at group end; lc_lane is group-constant)
             lcv = jnp.full((bt, GWp), NEG, jnp.int32)
             lci = jnp.zeros((bt, GWp), jnp.int32)
 
             for r_in_g in range(G):
-                rowv = _lane_scalar(grp, lane128, r_in_g)
-                d = rowv & 255
-                is_capture = ((rowv >> 8) & 1) == 1
-                active = ((rowv >> 9) & 1) == 1
-                qv = (rowv >> 16) & 255
+                d = d_pl[:, r_in_g:r_in_g + 1]
+                is_capture = cap_pl[:, r_in_g:r_in_g + 1] != 0
+                active = act_pl[:, r_in_g:r_in_g + 1] != 0
+                qv = qv_pl[:, r_in_g:r_in_g + 1]
                 local_i = lb + r_in_g
 
-                vba = (lane >= d) & (lane < d + W) & active
+                # [d, d+W) window as one unsigned compare
+                in_win = (lane - d).astype(jnp.uint32) < jnp.uint32(W)
+                vba = in_win & active
                 valid_ef = vba & j1m_g
                 is_col0 = vba & col0_g
-                valid_h = vba & j0m_g
                 is_match = reg == qv
 
                 f_open = h + open_
@@ -215,8 +224,10 @@ def _make_tape_kernel(T, W, GWp, bt, scoring: Scoring,
                 e = _shift_right_one(cmax) + lane * ext
                 e = jnp.where(valid_ef & (e > NEG // 2), e, NEG)
 
+                # no valid_h re-mask needed: diag, f-term, and e are each
+                # literal NEG outside vba & [0, m] already, so the max is
+                # exactly NEG there
                 h_new = jnp.maximum(g, e)
-                h_new = jnp.where(valid_h, h_new, NEG)
 
                 e_prev = _shift_right_one(e)
                 e_ext_bit = (e == e_prev + ext) & (e_prev > NEG // 2)

@@ -34,7 +34,11 @@ BAND_SIZES = (200, 250, 300, 350)
 # Band for the corridor-refinement pass (re-center on the found path).
 # Refinement now only runs for alignments whose traced path came within
 # REFINE_MARGIN lanes of the band edge — paths well inside the corridor
-# cannot improve from re-centering at the same width.
+# cannot improve from re-centering at the same width. (A narrower
+# refine band was tried — radius 100, W=256 — and lost: re-centered
+# corridors at 100 lanes trigger band-escape retries on the long
+# high-error reads, costing more than the narrower DP saves, and the
+# extra W bucket pays its own executable-load tax through the tunnel.)
 REFINE_BAND = 200
 REFINE_MARGIN = 64
 FINE_ANCHOR_MAX_DIST = 300                # corridor collection distance
