@@ -53,11 +53,12 @@ def main():
     workload = load_workload()
 
     run_once(workload, scoring)          # warm-up: compile kernels
-    # Best of 3 steady-state iterations: through the axon tunnel the
-    # per-run fetch/dispatch cost varies +-15% run to run (server-side
-    # executable reloads, network weather), so the fastest iteration is
-    # the closest proxy for the chip's steady-state throughput.
-    iters = 3
+    # Best of 5 steady-state iterations: through the axon tunnel the
+    # per-run fetch/dispatch cost varies +-15% (and worse on bad days)
+    # run to run — server-side executable reloads, network weather — so
+    # the fastest iteration is the closest proxy for the chip's
+    # steady-state throughput.
+    iters = 5
     rates = []
     for _ in range(iters):
         t0 = time.time()
