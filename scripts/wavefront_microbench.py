@@ -57,17 +57,26 @@ def main():
         p, a, b, B=B, W=W, GWp=GWp, n_groups=n_groups, a_lo=a_lo,
         scoring=pw.DEFAULT_SCORING, config=pw.SEMI_GLOBAL)
 
+    import jax.numpy as jnp
+
     t0 = time.time()
     out = run()
-    jax.block_until_ready(out)
+    int(jnp.sum(out[0]))           # force completion through the tunnel
     compile_s = time.time() - t0
 
+    # One scalar fetch per timing pass: chain the iterations through an
+    # accumulator so the tunnel RTT is paid once, like tape_microbench.
     iters = 30
     t0 = time.time()
+    acc = jnp.zeros((), jnp.int32)
     for _ in range(iters):
         out = run()
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+        acc = acc + jnp.sum(out[0]) + jnp.sum(out[1])
+    int(acc)
+    rtt0 = time.time()
+    int(jnp.sum(jnp.zeros((), jnp.int32)))   # measure a bare fetch RTT
+    rtt = time.time() - rtt0
+    dt = (time.time() - t0 - rtt) / iters
 
     steps = n_groups * wf.G
     print('wavefront forward: W=%d n=%d B=%d  %d wavefronts '
