@@ -53,24 +53,29 @@ def main():
     workload = load_workload()
 
     run_once(workload, scoring)          # warm-up: compile kernels
-    # Best of 5 steady-state iterations: through the axon tunnel the
-    # per-run fetch/dispatch cost varies +-15% (and worse on bad days)
-    # run to run — server-side executable reloads, network weather — so
-    # the fastest iteration is the closest proxy for the chip's
-    # steady-state throughput.
+    # 5 steady-state iterations. The HEADLINE value is the MEDIAN (an
+    # honest steady-state estimate, robust to one bad-network
+    # iteration); the max is reported alongside because through the
+    # axon tunnel the per-run fetch/dispatch cost varies +-15% run to
+    # run (server-side executable reloads, network weather) and the
+    # fastest iteration is the closest proxy for the chip itself.
     iters = 5
     rates = []
     for _ in range(iters):
         t0 = time.time()
         n = run_once(workload, scoring)
         rates.append(n / (time.time() - t0))
-    reads_per_sec = max(rates)
+    rates.sort()
+    reads_per_sec = rates[len(rates) // 2]
     print(json.dumps({
         'metric': 'long-read alignments/sec/chip (semi-global DP)',
         'value': round(reads_per_sec, 2),
         'unit': 'reads/s',
         'vs_baseline': round(reads_per_sec / REFERENCE_COMBINED_READS_PER_SEC,
                              2),
+        'median_of': iters,
+        'max': round(max(rates), 2),
+        'min': round(min(rates), 2),
     }))
 
 

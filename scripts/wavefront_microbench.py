@@ -85,12 +85,19 @@ def main():
     print('  tape row kernel reference: ~1.47 us/row at W=512 (PERF.md); '
           'cells/s this kernel: %.2f G' % (B * n * W / dt / 1e9))
 
-    # correctness spot check vs the interpret-mode result
+    # correctness spot check: hardware kernel vs interpret mode on the
+    # SAME inputs (a divergence would invalidate the timing numbers)
     score, ei, ej = wf.wavefront_batch_corridor(
         q[:2], r[:2], c_rows[:2], n_acts[:2], m_acts[:2],
         pw.DEFAULT_SCORING, pw.SEMI_GLOBAL, W=W)
-    print('  device scores: %s ends: %s' %
-          ([int(s) for s in score], list(zip(map(int, ei), map(int, ej)))))
+    score_i, ei_i, ej_i = wf.wavefront_batch_corridor(
+        q[:2], r[:2], c_rows[:2], n_acts[:2], m_acts[:2],
+        pw.DEFAULT_SCORING, pw.SEMI_GLOBAL, W=W, interpret=True)
+    hw = [(int(a), int(b), int(c_)) for a, b, c_ in zip(score, ei, ej)]
+    ip = [(int(a), int(b), int(c_)) for a, b, c_ in zip(score_i, ei_i, ej_i)]
+    assert hw == ip, 'hardware vs interpret divergence: %s != %s' % (hw, ip)
+    print('  device scores: %s ends: %s  (parity vs interpret: OK)' %
+          ([s for s, _, _ in hw], [(i, j) for _, i, j in hw]))
 
 
 if __name__ == '__main__':

@@ -253,5 +253,8 @@ def test_wavefront_drifting_matches_row_kernel_on_planted():
             need_moves=False)
         # the banded result can only be <= the (effectively) unbanded one
         assert int(score[b]) <= int(s2)
+        # planted 90%-identity tasks always score positive; required for
+        # the 0.5-factor lower bound below to be meaningful
+        assert int(s2) > 0
         # and on these planted tasks the corridor covers the true path
         assert int(score[b]) >= int(0.5 * int(s2))

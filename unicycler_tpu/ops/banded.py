@@ -1030,6 +1030,27 @@ def align_banded_multi(tasks, scoring, config, W, need_cigar, devices,
         d = loads.index(min(loads))
         parts[d].append(i)
         loads[d] += len(tasks[i].q)
+    if interpret:
+        # CPU (virtual-device) mesh: interpret-mode Pallas tape launches
+        # take XLA-CPU many MINUTES to compile at real read lengths (the
+        # round-2 multichip dryrun timed out inside backend_compile of
+        # one such launch). The bucketed XLA lax.scan kernel computes
+        # the identical DP and compiles in seconds, so per-device
+        # partitions route through it instead; every device's buckets
+        # are dispatched (async) before any is decoded.
+        all_pending = []
+        for dev, idxs in zip(devices, parts):
+            if idxs:
+                all_pending.append(
+                    (idxs, _xla_scan_dispatch([tasks[i] for i in idxs],
+                                              scoring, config, W,
+                                              need_cigar, device=dev)))
+        for idxs, pending in all_pending:
+            sub_results = [None] * len(idxs)
+            _xla_scan_decode(sub_results, pending, need_cigar, config)
+            for local_i, pa in enumerate(sub_results):
+                results[idxs[local_i]] = pa
+        return results
     all_pending = []
     for dev, idxs in zip(devices, parts):
         if not idxs:
@@ -1049,6 +1070,54 @@ def align_banded_multi(tasks, scoring, config, W, need_cigar, devices,
         for i, pa in zip(retry, retried):
             results[i] = pa
     return results
+
+
+def _xla_scan_dispatch(task_list, scoring, config, W, need_cigar,
+                       device=None):
+    """Bucketed banded_batch_device launches (the XLA lax.scan kernel)
+    with inputs committed to a specific device. Batch sizes are padded
+    to powers of two so a varying per-device task count does not compile
+    a fresh executable per call."""
+    from .encode import bucket_length, Q_PAD
+    put = (lambda x: jax.device_put(x, device)) if device is not None \
+        else (lambda x: x)
+    buckets = {}
+    for idx, t in enumerate(task_list):
+        key = (bucket_length(max(len(t.q), 1)),
+               bucket_length(max(len(t.r), 1)))
+        buckets.setdefault(key, []).append(idx)
+    pending = []
+    for (n_pad, m_pad), idxs in buckets.items():
+        B = 1 << int(np.ceil(np.log2(len(idxs))))
+        qb = np.full((B, n_pad), Q_PAD, np.int8)
+        r_ext = np.full((B, m_pad + 2 * W), R_PAD, np.int8)
+        cb = np.zeros((B, n_pad + 1), np.int32)
+        n_acts = np.zeros(B, np.int32)
+        m_acts = np.zeros(B, np.int32)
+        for bi, i in enumerate(idxs):
+            t = task_list[i]
+            qb[bi, :len(t.q)] = t.q
+            r_ext[bi, W:W + len(t.r)] = t.r
+            n_acts[bi] = len(t.q)
+            m_acts[bi] = len(t.r)
+            c = build_corridor(t.corridor_read, t.corridor_ref,
+                               len(t.q), len(t.r), W)
+            cb[bi, :len(c)] = c
+            cb[bi, len(c):] = c[-1]
+        outs = banded_batch_device(
+            put(qb), put(r_ext), put(cb), put(n_acts), put(m_acts),
+            scoring=scoring, config=config, W=W, need_moves=need_cigar)
+        pending.append((idxs, outs, cb, n_acts, m_acts))
+    return pending
+
+
+def _xla_scan_decode(results, pending, need_cigar, config):
+    for idxs, outs, cb, n_acts, m_acts in pending:
+        score, end_i, end_j, moves = outs
+        if need_cigar:
+            moves = moves[:len(idxs)]
+        _emit_results(results, idxs, score, end_i, end_j, moves, cb,
+                      n_acts, m_acts, need_cigar, config)
 
 
 def _tape_decode(results, live, pending, grouped, need_cigar, config,

@@ -340,7 +340,15 @@ def _prepare(q, r, c_rows, n_acts, m_acts, W):
     par[:, 0] = n_acts
     par[:, 1] = m_acts
     par[:, 2] = dmin
-    assert int(np.abs(adv).max()) < ADV_BIAS, 'per-group drift too large'
+    if int(np.abs(adv).max()) >= ADV_BIAS:
+        gi, bi = np.unravel_index(int(np.abs(adv).argmax()), adv.shape)
+        raise ValueError(
+            'per-group corridor drift too large for the wavefront kernel: '
+            'task %d advances %d diagonals entering group %d (limit %d). '
+            'Corridors must drift < %d diagonals per %d-row group — '
+            'production build_corridor output (MAX_SHIFT-capped) always '
+            'satisfies this.' % (bi, int(adv[gi, bi]), gi, ADV_BIAS,
+                                 ADV_BIAS, G))
     db = np.zeros((n_groups, B, 128), np.int32)
     db[:, :, 0] = dbase
     db[:, :, 1] = adv
@@ -376,7 +384,12 @@ def wavefront_batch_corridor(q, r, c_rows, n_acts, m_acts, scoring: Scoring,
     Returns (score, end_i, end_j) numpy arrays with the same
     end-selection semantics as ops.banded._banded_single (corner, then
     free_end_s2 argmax, then free_end_s1 with the smallest row winning
-    ties)."""
+    ties).
+
+    Precondition: each corridor may drift < ADV_BIAS (=128) diagonals
+    per G-row group (ValueError otherwise). build_corridor output is
+    always safe: its per-row drift cap (MAX_SHIFT=4) bounds group drift
+    at 4*G << 128."""
     q = np.ascontiguousarray(q, np.int8)
     r = np.ascontiguousarray(r, np.int8)
     n_acts = np.asarray(n_acts, np.int32)
