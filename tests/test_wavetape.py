@@ -1,0 +1,193 @@
+"""CPU parity tests for the wavefront TAPE path via interpret mode.
+
+The wavefront tape kernels (ops/pallas_wavetape.py) are the round-3
+production TPU forward+traceback path for W <= 512. On straight
+corridors their group windows equal the row kernels' per-row bands, so
+scores, ends, AND CIGARs must match the XLA bucketed path bit-exactly.
+On drifting corridors the effective band is the group-quantized window
+(ops/pallas_wavefront semantics): there the scores must match the
+wavefront prototype exactly and every CIGAR must re-score to the
+reported score (a full-path validity oracle).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from unicycler_tpu.ops.banded import (BandedTask, align_banded,
+                                      align_banded_tape)
+from unicycler_tpu.ops.pairwise import (AlignConfig, Scoring, NEG,
+                                        SEMI_GLOBAL)
+
+FULLY_GLOBAL = AlignConfig(False, False, False, False)
+PATH_CONFIG = AlignConfig(False, False, False, True)
+OVERLAP_CONFIG = AlignConfig(True, False, False, True)
+END_CONFIG = AlignConfig(False, True, False, False)
+
+SCORING = Scoring(3, -6, -5, -2)
+
+
+def _mutate(codes, rng, sub=0.06, ind=0.04):
+    out = []
+    i = 0
+    while i < len(codes):
+        r = rng.random()
+        if r < ind / 2:
+            out.append(rng.integers(0, 4))
+            continue
+        if r < ind:
+            i += 1
+            continue
+        if r < ind + sub:
+            out.append((codes[i] + rng.integers(1, 4)) % 4)
+        else:
+            out.append(codes[i])
+        i += 1
+    return np.array(out, np.int8)
+
+
+def _tasks(rng, sizes, straight=True):
+    tasks = []
+    for n in sizes:
+        ref = rng.integers(0, 4, n + 120).astype(np.int8)
+        off = int(rng.integers(0, 80))
+        q = _mutate(ref[off:off + n], rng)
+        if straight:
+            cr = np.array([0, len(q)], np.int32)
+            cf = np.array([off, off + n], np.int32)
+        else:
+            # bent corridor: mid anchor displaced so the window drifts
+            mid = len(q) // 2
+            cr = np.array([0, mid, len(q)], np.int32)
+            cf = np.array([off, off + mid + int(rng.integers(-20, 20)),
+                           off + n], np.int32)
+        tasks.append(BandedTask(q=q, r=ref, corridor_read=cr,
+                                corridor_ref=cf))
+    return tasks
+
+
+def _wave(tasks, config, W, need_cigar=True):
+    os.environ['UNICYCLER_TPU_WAVETAPE'] = '1'
+    try:
+        return align_banded_tape(tasks, SCORING, config, W, need_cigar,
+                                 interpret=True)
+    finally:
+        os.environ.pop('UNICYCLER_TPU_WAVETAPE', None)
+
+
+def _rescore(pa, task, config):
+    """Recompute the DP score of an alignment path from its CIGAR —
+    independent validity oracle for any banded result."""
+    q, r = task.q, task.r
+    i, j = pa.s1_start, pa.s2_start
+    score = 0
+    # start costs for non-free starts
+    if not config.free_start_s2 and j > 0:
+        # leading D run is part of the cigar in that case
+        pass
+    for count, op in pa.cigar:
+        if op == 'M':
+            for k in range(count):
+                score += SCORING.match if q[i + k] == r[j + k] \
+                    else SCORING.mismatch
+            i += count
+            j += count
+        elif op == 'I':
+            score += SCORING.gap_open + (count - 1) * SCORING.gap_extend
+            i += count
+        else:
+            score += SCORING.gap_open + (count - 1) * SCORING.gap_extend
+            j += count
+    assert (i, j) == (pa.s1_end, pa.s2_end), \
+        'CIGAR span mismatch: (%d,%d) vs (%d,%d)' % (i, j, pa.s1_end,
+                                                     pa.s2_end)
+    return score
+
+
+ALL_CONFIGS = [SEMI_GLOBAL, FULLY_GLOBAL, PATH_CONFIG, OVERLAP_CONFIG,
+               END_CONFIG]
+CONFIG_IDS = ['semi', 'global', 'path', 'overlap', 'end']
+
+
+@pytest.mark.parametrize('config', ALL_CONFIGS, ids=CONFIG_IDS)
+def test_wavetape_matches_row_path_straight(config):
+    rng = np.random.default_rng(11)
+    tasks = _tasks(rng, [60, 80, 120, 150, 200, 250, 300, 330, 90, 110,
+                         140, 170])
+    want = align_banded(tasks, SCORING, config=config, band=40)
+    got = _wave(tasks, config, 128)
+    for g, w, t in zip(got, want, tasks):
+        assert g.score == w.score, (g, w)
+        assert (g.s1_start, g.s1_end, g.s2_start, g.s2_end) == \
+            (w.s1_start, w.s1_end, w.s2_start, w.s2_end)
+        assert g.cigar == w.cigar
+
+
+def test_wavetape_score_only_matches():
+    rng = np.random.default_rng(5)
+    tasks = _tasks(rng, [70, 130, 210, 90])
+    want = align_banded(tasks, SCORING, config=SEMI_GLOBAL, band=40,
+                        need_cigar=False)
+    got = _wave(tasks, SEMI_GLOBAL, 128, need_cigar=False)
+    for g, w in zip(got, want):
+        assert g.score == w.score
+
+
+@pytest.mark.parametrize('config', [SEMI_GLOBAL, FULLY_GLOBAL],
+                         ids=['semi', 'global'])
+def test_wavetape_drifting_matches_prototype(config):
+    """Drifting corridors: the tape must reproduce the wavefront
+    prototype's group-quantized window scores exactly (the prototype is
+    itself pinned to a literal numpy oracle in test_wavefront.py), and
+    every CIGAR must re-score to the reported score."""
+    from unicycler_tpu.ops.banded import build_corridor
+    from unicycler_tpu.ops.pallas_wavefront import \
+        wavefront_batch_corridor
+
+    rng = np.random.default_rng(23)
+    W = 128
+    tasks = _tasks(rng, [90, 140, 200, 260], straight=False)
+    got = _wave(tasks, config, W)
+    # row-path results: the oracle for wave-NEG retries (no-free-end
+    # configs whose corner the group-quantized window clipped re-run
+    # through the exact per-row-corridor kernels)
+    row = align_banded(tasks, SCORING, config=config, band=40)  # W=128
+
+    for t, g, rw in zip(tasks, got, row):
+        n, m = len(t.q), len(t.r)
+        c = build_corridor(t.corridor_read, t.corridor_ref, n, m, W)
+        q = t.q[None, :]
+        r = t.r[None, :]
+        score, ei, ej = wavefront_batch_corridor(
+            q, r, [c], np.array([n], np.int32), np.array([m], np.int32),
+            SCORING, config, W=W, interpret=True)
+        if int(score[0]) <= NEG // 2:
+            if config.free_end_s1 or config.free_end_s2:
+                assert g.score == 0 and not g.cigar
+            else:
+                assert g.score == rw.score and g.cigar == rw.cigar
+            continue
+        assert g.score == int(score[0]), (g.score, int(score[0]))
+        assert (g.s1_end, g.s2_end) == (int(ei[0]), int(ej[0]))
+        if g.cigar:
+            assert _rescore(g, t, config) == g.score
+
+
+def test_wavetape_perfect_and_tiny():
+    """Exact containment (all-M path) and a 1-base query, multi-task."""
+    rng = np.random.default_rng(3)
+    ref = rng.integers(0, 4, 400).astype(np.int8)
+    tasks = [
+        BandedTask(q=ref[37:37 + 256].copy(), r=ref,
+                   corridor_read=np.array([0, 256], np.int32),
+                   corridor_ref=np.array([37, 293], np.int32)),
+        BandedTask(q=ref[5:6].copy(), r=ref[:40],
+                   corridor_read=np.array([0, 1], np.int32),
+                   corridor_ref=np.array([5, 6], np.int32)),
+    ]
+    got = _wave(tasks, SEMI_GLOBAL, 128)
+    assert got[0].score == 3 * 256
+    assert got[0].cigar == [(256, 'M')]
+    assert (got[0].s1_start, got[0].s2_start) == (0, 37)
+    assert got[1].score == 3

@@ -621,17 +621,108 @@ def _sparse_cap(walk_rows, records):
     return min(b, records.shape[0] * records.shape[1])   # costs bytes
 
 
+def use_wavetape(W):
+    """True when align_banded's tape path should use the anti-diagonal
+    WAVEFRONT kernels (ops/pallas_wavetape) instead of the row kernels:
+    ~4.4x faster forward on hardware (PERF.md). Wide bands (W > 512)
+    keep the row kernels — the wavefront group body holds ~8 live
+    (bt, W) vregs and wide bands are the rolled-kernel minority.
+    Override with UNICYCLER_TPU_WAVETAPE=0/1."""
+    import os
+    env = os.environ.get('UNICYCLER_TPU_WAVETAPE')
+    if env in ('0', '1'):
+        return env == '1'
+    return W <= 512
+
+
+def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
+                       interpret=False, device=None, two_phase=False):
+    """Wavefront-tape twin of _tape_dispatch; same pending contract."""
+    from .wavetape import build_wavetapes, G as WG
+    from .pallas_wavetape import (wavetape_forward, wavetape_traceback,
+                                  wavetape_with_traceback)
+    from .pallas_tape import compress_records
+    from ..utils import trace
+    with trace.span('tape_build'):
+        launches = build_wavetapes(live_tasks, W, build_corridor)
+    put = (lambda x: jax.device_put(x, device)) if device is not None \
+        else (lambda x: x)
+    pending = []
+    for tp in launches:
+        trace.add('wave.launches')
+        trace.add('wave.groups', tp.NG_real)
+        trace.add('wave.groups.W%d.bt%d' % (W, tp.q_tape.shape[0]), tp.NG)
+        per_task = tuple(put(a) for a in
+                         (tp.n_t, tp.m_t, tp.r_base, tp.rowbase,
+                          tp.dbase0, tp.a0, tp.seg_g, tp.lastg))
+        main_in = (put(tp.q_tape), put(tp.r_flat), put(tp.adv8),
+                   put(tp.gflags))
+        abase_dev = put(tp.abase)
+        n_tasks_dev = put(tp.n_tasks)
+        segA = tp.seg_g * WG
+        lenA = np.where(tp.n_t > 0, (tp.lastg - tp.seg_g + 1) * WG, 0)
+        if need_cigar and two_phase:
+            score, end_i, end_j, moves, db_rows = wavetape_forward(
+                *main_in, *per_task,
+                scoring=scoring, config=config, W=W, need_moves=True,
+                interpret=interpret)
+            n_t_dev, segA_dev = per_task[0], put(segA)
+            lenA_dev = put(lenA)
+
+            def walk(keep_dev, moves=moves, db_rows=db_rows,
+                     n_tasks_dev=n_tasks_dev, end_i=end_i, end_j=end_j,
+                     abase_dev=abase_dev, n_t_dev=n_t_dev,
+                     segA_dev=segA_dev, lenA_dev=lenA_dev):
+                valid = (n_t_dev > 0) & keep_dev
+                ei_m = jnp.where(valid, end_i, 0)
+                ej_m = jnp.where(valid, end_j, 0)
+                records, fin = wavetape_traceback(
+                    moves, db_rows, n_tasks_dev, ei_m, ej_m,
+                    jnp.where(n_t_dev > 0, abase_dev, 0), W,
+                    interpret=interpret)
+                lenA_m = jnp.where(keep_dev, lenA_dev, 0)
+                return records, fin, (segA_dev, lenA_m)
+
+            pending.append((tp, [score, end_i, end_j], ('fwd2', walk)))
+        elif need_cigar:
+            score, end_i, end_j, records, fin = wavetape_with_traceback(
+                *main_in, *per_task, abase_dev, n_tasks_dev,
+                scoring=scoring, config=config, W=W, interpret=interpret)
+            cap = _sparse_cap(int(tp.n_t[tp.n_t > 0].sum()), records)
+            nnz, idx, vals = compress_records(
+                records, cap, segments=(put(segA), put(lenA)))
+            dev = [score, end_i, end_j, nnz, idx, vals, jnp.ravel(fin)]
+            pending.append((tp, dev, (cap, records)))
+        else:
+            score, end_i, end_j, _, _ = wavetape_forward(
+                *main_in, *per_task,
+                scoring=scoring, config=config, W=W, need_moves=False,
+                interpret=interpret)
+            pending.append((tp, [score, end_i, end_j], None))
+    return pending
+
+
 def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                    interpret=False, device=None, two_phase=False):
     """Build tapes and launch the kernels (async). Returns the pending
     list of (TapeLaunch, device arrays, extra). With two_phase=True the
     traceback walk is NOT queued: only forward scores/ends are in the
-    fetchable dev list, and `extra` carries the device-resident moves +
-    walk inputs for a later _tape_walk_dispatch (so a caller can fetch
-    scores first and walk only winning tasks)."""
+    fetchable dev list, and `extra` carries a walk closure for a later
+    _tape_walk_dispatch (so a caller can fetch scores first and walk
+    only winning tasks)."""
+    import os as _os
+    if use_wavetape(W) and (
+            not interpret
+            or _os.environ.get('UNICYCLER_TPU_WAVETAPE') == '1'):
+        # interpret-mode wavetape only when explicitly forced (CI parity
+        # tests on tiny shapes); CPU meshes otherwise stay on the row
+        # kernels whose interpret compiles are the known-fast path
+        return _wavetape_dispatch(live_tasks, scoring, config, W,
+                                  need_cigar, interpret, device,
+                                  two_phase)
     from .tape import build_tapes
     from .pallas_tape import (compress_records, tape_forward,
-                              tape_with_traceback)
+                              tape_traceback, tape_with_traceback)
     from ..utils import trace
     with trace.span('tape_build'):
         launches = build_tapes(live_tasks, W, build_corridor)
@@ -652,11 +743,20 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
                 *main_in, *per_task,
                 scoring=scoring, config=config, W=W, need_moves=True,
                 interpret=interpret)
-            walk_ctx = (moves, c_rel, jr_rows, put(tp.n_tasks),
-                        score, end_i, end_j,
-                        per_task[6], per_task[4], W, interpret)
-            pending.append((tp, [score, end_i, end_j],
-                            ('fwd2', walk_ctx)))
+            n_tasks_dev = put(tp.n_tasks)
+            seg_start_dev, n_t_dev = per_task[6], per_task[4]
+
+            def walk(keep_dev, moves=moves, c_rel=c_rel, jr_rows=jr_rows,
+                     n_tasks_dev=n_tasks_dev, end_i=end_i, end_j=end_j,
+                     seg_start_dev=seg_start_dev, n_t_dev=n_t_dev):
+                end_abs, ej, ss, n_t_m = _masked_walk_inputs(
+                    keep_dev, n_t_dev, seg_start_dev, end_i, end_j)
+                records, fin = tape_traceback(
+                    moves, c_rel, jr_rows, n_tasks_dev, end_abs, ej, ss,
+                    W, interpret=interpret)
+                return records, fin, (seg_start_dev, n_t_m)
+
+            pending.append((tp, [score, end_i, end_j], ('fwd2', walk)))
         elif need_cigar:
             score, end_i, end_j, records, fin = tape_with_traceback(
                 *main_in, *per_task, put(tp.n_tasks),
@@ -691,25 +791,19 @@ def _masked_walk_inputs(keep, n_t, seg_start, end_i, end_j):
 
 def _tape_walk_dispatch(pending, keep_masks):
     """Phase 2 of the two-phase tape path: queue the traceback walks for
-    the kept tasks of each launch. Returns a pending list shaped for
-    _tape_collect/_tape_decode (7-part dev groups)."""
-    from .pallas_tape import compress_records, tape_traceback
+    the kept tasks of each launch (via the walk closure the dispatch
+    stored — row or wavefront tape alike). Returns a pending list shaped
+    for _tape_collect/_tape_decode (7-part dev groups)."""
+    from .pallas_tape import compress_records
     pending2 = []
     for (tp, dev1, extra), keep in zip(pending, keep_masks):
-        tag, walk_ctx = extra
+        tag, walk = extra
         assert tag == 'fwd2'
-        (moves, c_rel, jr_rows, n_tasks_dev, score, end_i, end_j,
-         seg_start_dev, n_t_dev, W, interpret) = walk_ctx
-        keep_dev = jnp.asarray(keep)
-        end_abs, ej, ss, n_t_m = _masked_walk_inputs(
-            keep_dev, n_t_dev, seg_start_dev, end_i, end_j)
-        records, fin = tape_traceback(
-            moves, c_rel, jr_rows, n_tasks_dev, end_abs, ej, ss, W,
-            interpret=interpret)
+        records, fin, segments = walk(jnp.asarray(keep))
         walk_rows = int(tp.n_t[(tp.n_t > 0) & keep].sum())
         cap = _sparse_cap(walk_rows, records)
-        nnz, idx, vals = compress_records(
-            records, cap, segments=(seg_start_dev, n_t_m))
+        nnz, idx, vals = compress_records(records, cap,
+                                          segments=segments)
         pending2.append((tp, [nnz, idx, vals, jnp.ravel(fin)],
                          (cap, records)))
     return pending2
@@ -1129,9 +1223,11 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config,
     span-based filters drop them while score-based ranking still sees
     them."""
     from .pallas_traceback import records_to_cigar
+    from .pallas_wavetape import wave_records_to_cigar
     from ..utils import trace
     retry = []
     for li, ((tp, dev, extra), parts) in enumerate(zip(pending, grouped)):
+        is_wave = hasattr(tp, 'abase')
         score, end_i, end_j = parts[0], parts[1], parts[2]
         if need_cigar:
             cap, rec_dev = extra
@@ -1147,7 +1243,7 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config,
                 records = np.ones(B_ * L_, np.int32)
                 records[idx[:nnz]] = vals[:nnz]
                 records = records.reshape(B_, L_)
-            fin = parts[6].reshape(tp.qf.shape[0], tp.TT, 3)
+            fin = parts[6].reshape(records.shape[0], tp.TT, 3)
         else:
             records = fin = None
         for tr in range(tp.task_ids.shape[0]):
@@ -1157,9 +1253,18 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config,
                 n_act = int(tp.n_t[tr, kk])
                 m_act = int(tp.m_t[tr, kk])
                 if sc <= NEG // 2:
-                    results[gi] = PairAlignment(
-                        score=0, s1_start=0, s1_end=0, s2_start=0,
-                        s2_end=0, cigar=[], s1_len=n_act, s2_len=m_act)
+                    if is_wave and not (config.free_end_s1
+                                        or config.free_end_s2):
+                        # No-free-end configs must reach the corner; the
+                        # wave tape's group-quantized window can clip it
+                        # on a drifting corridor where the row kernels'
+                        # exact per-row corridor would not. Retry exact.
+                        retry.append(gi)
+                    else:
+                        results[gi] = PairAlignment(
+                            score=0, s1_start=0, s1_end=0, s2_start=0,
+                            s2_end=0, cigar=[], s1_len=n_act,
+                            s2_len=m_act)
                     continue
                 if keep_masks is not None \
                         and not keep_masks[li][tr, kk]:
@@ -1173,11 +1278,18 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config,
                         score=sc, s1_start=0, s1_end=ei, s2_start=0,
                         s2_end=ej, cigar=[], s1_len=n_act, s2_len=m_act)
                     continue
-                ss = int(tp.seg_start[tr, kk])
-                local = records[tr, ss:ss + ei]
-                decoded = records_to_cigar(local, ei, fin[tr, kk, 0],
-                                           fin[tr, kk, 1], fin[tr, kk, 2],
-                                           config)
+                if is_wave:
+                    decoded = wave_records_to_cigar(
+                        records[tr], int(tp.abase[tr, kk]), ei, ej,
+                        fin[tr, kk, 0], fin[tr, kk, 1], fin[tr, kk, 2],
+                        config)
+                else:
+                    ss = int(tp.seg_start[tr, kk])
+                    local = records[tr, ss:ss + ei]
+                    decoded = records_to_cigar(local, ei,
+                                               fin[tr, kk, 0],
+                                               fin[tr, kk, 1],
+                                               fin[tr, kk, 2], config)
                 if decoded is None:
                     retry.append(gi)
                     continue
@@ -1192,6 +1304,9 @@ def _align_banded_moves_path(task_list, scoring, config, W, need_cigar):
     """Fallback: the original host-decoded moves path for a few tasks."""
     from .encode import bucket_length, pad_to, Q_PAD
     from .pallas_banded import BT, pallas_banded_batch
+    # CPU backends (tests, virtual meshes) can't run the Pallas kernel
+    # compiled; use the XLA lax.scan twin — identical DP.
+    on_cpu = jax.devices()[0].platform == 'cpu'
     results = [None] * len(task_list)
     # Memory guard: the bucketed kernel materialises a (BT, n_pad, W/8)
     # int32 moves array in HBM; a band-escape retry of a very long,
@@ -1231,8 +1346,14 @@ def _align_banded_moves_path(task_list, scoring, config, W, need_cigar):
                                len(t.q), len(t.r), W)
             cb[bi, :len(c)] = c
             cb[bi, len(c):] = c[-1]
-        score, end_i, end_j, moves = pallas_banded_batch(
-            qb, r_ext, cb, n_acts, m_acts, scoring, config, W, need_cigar)
+        if on_cpu:
+            score, end_i, end_j, moves = banded_batch_device(
+                qb, r_ext, cb, n_acts, m_acts, scoring=scoring,
+                config=config, W=W, need_moves=need_cigar)
+        else:
+            score, end_i, end_j, moves = pallas_banded_batch(
+                qb, r_ext, cb, n_acts, m_acts, scoring, config, W,
+                need_cigar)
         if need_cigar:
             moves = moves[:len(idxs)]
         _emit_results(results, idxs, score, end_i, end_j, moves, cb,
