@@ -174,6 +174,58 @@ def test_wavetape_drifting_matches_prototype(config):
             assert _rescore(g, t, config) == g.score
 
 
+def test_lane_domain_windows_match_gather_oracle():
+    """The kernel's lane-domain window math (single slice of the
+    repeat-2 tapes with S linear in group metadata, q task-reversed)
+    must reproduce the gather-built ZQ/ZR planes exactly, drift and
+    parity included."""
+    import jax.numpy as jnp
+    from unicycler_tpu.ops.banded import build_corridor
+    from unicycler_tpu.ops import pallas_wavetape as pwt
+    from unicycler_tpu.ops.wavetape import G, build_wavetapes
+
+    rng = np.random.default_rng(5)
+    W = 128
+    GWp = pwt._region_width(W)
+    tasks = _tasks(rng, [90, 200, 333], straight=False)
+    tp = build_wavetapes(tasks, W, build_corridor)[0]
+    B, NG = tp.adv8.shape
+
+    gfl = tp.gflags.astype(np.int64)
+    seg = np.clip(np.cumsum(gfl & 1, axis=1) - 1, 0, None)
+    takeg = lambda a: np.take_along_axis(a.astype(np.int64), seg, axis=1)
+    dbase_g = np.cumsum(tp.adv8.astype(np.int64), axis=1) \
+        + takeg(tp.dbase0)
+    a_g0 = takeg(tp.a0) + (np.arange(NG)[None, :] - takeg(tp.seg_g)) * G
+    rowb_g = takeg(tp.rowbase)
+    rb_g = takeg(tp.r_base) + W
+    n_g = takeg(tp.n_t)
+
+    # the gather oracle expects the UNREVERSED layout
+    q_unrev = tp.q_tape.copy()
+    for tr in range(B):
+        for kk in range(int(tp.n_tasks[tr])):
+            rb_, n_ = int(tp.rowbase[tr, kk]), int(tp.n_t[tr, kk])
+            q_unrev[tr, rb_:rb_ + n_] = q_unrev[tr, rb_:rb_ + n_][::-1]
+    zq_old, zr_old = pwt._build_planes(
+        jnp.asarray(q_unrev), jnp.asarray(tp.r_flat),
+        jnp.asarray(rowb_g), jnp.asarray(rb_g), jnp.asarray(a_g0),
+        jnp.asarray(dbase_g), GWp)
+    zq_old, zr_old = np.asarray(zq_old), np.asarray(zr_old)
+
+    q2 = np.repeat(tp.q_tape, 2, axis=1)
+    r2 = np.repeat(tp.r_flat, 2, axis=1)
+    kq = a_g0 + G - 1 - dbase_g
+    sq = np.clip(2 * (rowb_g + n_g) + 1 - kq, 0, q2.shape[1] - GWp)
+    kr = a_g0 + dbase_g
+    sr = np.clip(2 * (rb_g - 1) + kr, 0, r2.shape[1] - GWp)
+    for g in range(NG):
+        for b in range(B):
+            s, s2 = int(sq[b, g]), int(sr[b, g])
+            assert (q2[b, s:s + GWp] == zq_old[g, b]).all(), (g, b)
+            assert (r2[b, s2:s2 + GWp] == zr_old[g, b]).all(), (g, b)
+
+
 def test_wavetape_perfect_and_tiny():
     """Exact containment (all-M path) and a 1-base query, multi-task."""
     rng = np.random.default_rng(3)

@@ -645,10 +645,20 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
     from ..utils import trace
     with trace.span('tape_build'):
         launches = build_wavetapes(live_tasks, W, build_corridor)
+    # The kernel holds the repeat-2 lane tapes (q2/r2) as whole-call
+    # VMEM residents; a launch whose tapes exceed the budget (giant
+    # reference windows) routes to the row kernels instead.
+    if any(2 * tp.q_tape.shape[0] * (tp.LR + tp.r_flat.shape[1])
+           > (6 << 20) for tp in launches):
+        trace.add('wave.vmem_fallback')
+        return None
     put = (lambda x: jax.device_put(x, device)) if device is not None \
         else (lambda x: x)
     pending = []
     for tp in launches:
+        # packed-event fetch budget: flat record index must fit 24 bits
+        assert tp.q_tape.shape[0] * tp.NG * WG < (1 << 24), \
+            'wave launch too large for packed event indices'
         trace.add('wave.launches')
         trace.add('wave.groups', tp.NG_real)
         trace.add('wave.groups.W%d.bt%d' % (W, tp.q_tape.shape[0]), tp.NG)
@@ -691,7 +701,10 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
             cap = _sparse_cap(int(tp.n_t[tp.n_t > 0].sum()), records)
             nnz, idx, vals = compress_records(
                 records, cap, segments=(put(segA), put(lenA)))
-            dev = [score, end_i, end_j, nnz, idx, vals, jnp.ravel(fin)]
+            # wave record values fit 8 bits (run split at 63): one
+            # packed int32 per event halves the records fetch
+            packed = (idx << 8) | (vals & 0xFF)
+            dev = [score, end_i, end_j, nnz, packed, jnp.ravel(fin)]
             pending.append((tp, dev, (cap, records)))
         else:
             score, end_i, end_j, _, _ = wavetape_forward(
@@ -717,9 +730,11 @@ def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,
         # interpret-mode wavetape only when explicitly forced (CI parity
         # tests on tiny shapes); CPU meshes otherwise stay on the row
         # kernels whose interpret compiles are the known-fast path
-        return _wavetape_dispatch(live_tasks, scoring, config, W,
-                                  need_cigar, interpret, device,
-                                  two_phase)
+        pending = _wavetape_dispatch(live_tasks, scoring, config, W,
+                                     need_cigar, interpret, device,
+                                     two_phase)
+        if pending is not None:      # None: VMEM fallback to row tape
+            return pending
     from .tape import build_tapes
     from .pallas_tape import (compress_records, tape_forward,
                               tape_traceback, tape_with_traceback)
@@ -804,8 +819,12 @@ def _tape_walk_dispatch(pending, keep_masks):
         cap = _sparse_cap(walk_rows, records)
         nnz, idx, vals = compress_records(records, cap,
                                           segments=segments)
-        pending2.append((tp, [nnz, idx, vals, jnp.ravel(fin)],
-                         (cap, records)))
+        if hasattr(tp, 'abase'):     # wave: 8-bit values, pack with idx
+            pending2.append((tp, [nnz, (idx << 8) | (vals & 0xFF),
+                                  jnp.ravel(fin)], (cap, records)))
+        else:
+            pending2.append((tp, [nnz, idx, vals, jnp.ravel(fin)],
+                             (cap, records)))
     return pending2
 
 
@@ -1238,12 +1257,19 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config,
                 # the dense device array after all
                 trace.add('tape.sparse_overflow')
                 records = np.asarray(rec_dev)
+            elif is_wave:
+                # packed (flat index << 8 | 8-bit value) events
+                packed = parts[4][:nnz].astype(np.int64) & 0xFFFFFFFF
+                records = np.ones(B_ * L_, np.int32)
+                records[packed >> 8] = (packed & 0xFF).astype(np.int32)
+                records = records.reshape(B_, L_)
             else:
                 idx, vals = parts[4], parts[5]
                 records = np.ones(B_ * L_, np.int32)
                 records[idx[:nnz]] = vals[:nnz]
                 records = records.reshape(B_, L_)
-            fin = parts[6].reshape(records.shape[0], tp.TT, 3)
+            fin = parts[5 if is_wave else 6].reshape(
+                records.shape[0], tp.TT, 3)
         else:
             records = fin = None
         for tr in range(tp.task_ids.shape[0]):

@@ -13,10 +13,14 @@ Differences from the prototype that make it production-grade:
     the wavefront axis; task resets are group-aligned (carries NEG-clear,
     no boundary swap needed — row-0/column-0 boundary cells inject
     incrementally per wavefront).
-  * ZQ/ZR base planes are built ON DEVICE in the jit prolog from the
-    1-byte-per-row q tape and the shared r_flat (slice + repeat + parity
-    select; the prototype's host-side planes would be ~60 B per row of
-    host->device traffic).
+  * ZQ/ZR windows are loaded INSIDE the kernel: the jit prolog expands
+    the 1-byte-per-row tapes to repeat-2 LANE tapes (q2/r2, one cheap
+    elementwise repeat; q is stored task-REVERSED by the host builder),
+    after which a group's window is a single ascending dynamic slice
+    per track — q2[S + x] with S linear in the group metadata. This
+    replaces a gather prolog (one XLA DMA per (group, track)) that cost
+    0.82 us/wavefront, 4x the wavefront DP itself; host-side planes
+    would be ~60 B/row of host->device traffic.
   * End captures accumulate in per-group LOCAL per-lane arrays and merge
     into RUNNING SCALARS per track (corner, best row-n value + smallest
     j, best column-m value + smallest i) — published per group to slot
@@ -67,13 +71,14 @@ def _region_width(W):
     return (W + G + 127) // 128 * 128
 
 
-def _chunk_wavefronts(W, bt):
+def _chunk_wavefronts(W, bt, resident_bytes=0):
     """Wavefronts per grid step: largest power-of-two multiple of G
-    <= 256 keeping the per-chunk VMEM blocks (moves dominates) ~4 MB."""
-    GWp = _region_width(W)
-    per_wf = bt * W // 2 + 2 * bt * GWp // G + bt * 128 * 8 // G
+    <= 256 keeping the per-chunk VMEM blocks (moves dominates) within
+    ~4 MB after the whole-call residents (q2/r2 lane tapes)."""
+    per_wf = bt * W // 2 + bt * 128 * 8 // G
+    budget = max(1 << 20, (1 << 22) - resident_bytes)
     t = 256
-    while t > G and t * per_wf > (1 << 22):
+    while t > G and t * per_wf > budget:
         t //= 2
     return max(t, G)
 
@@ -83,7 +88,7 @@ def _make_wavetape_kernel(T, W, GWp, bt, scoring: Scoring,
     match_s, mismatch = int(scoring.match), int(scoring.mismatch)
     open_, ext = int(scoring.gap_open), int(scoring.gap_extend)
 
-    def kernel(pl_ref, zq_ref, zr_ref, *out_and_scratch):
+    def kernel(pl_ref, q2_ref, r2_ref, sq_ref, *out_and_scratch):
         if need_moves:
             (moves_ref, best_ref, h1_scr, h2_scr, e_scr, f_scr,
              cor_scr, rnv_scr, rnj_scr, lcv_scr, lci_scr) = out_and_scratch
@@ -107,10 +112,34 @@ def _make_wavetape_kernel(T, W, GWp, bt, scoring: Scoring,
             lcv_scr[:, :] = jnp.full((bt, 1), NEG, jnp.int32)
             lci_scr[:, :] = jnp.zeros((bt, 1), jnp.int32)
 
+        GWe = GWp + 128
+
+        def load_windows(gl, src_ref, col):
+            """(bt, GWp) int32 lane window per track: one 128-aligned
+            VMEM load of GWp+128 lanes at (s >> 7) * 128 (Mosaic needs
+            provable lane alignment), then a rotate by the residual —
+            one static roll plus an 8-bit conditional-roll ladder (the
+            carry-realign trick). Replaces the XLA gather prolog that
+            cost 0.82 us/wavefront."""
+            rows, res = [], []
+            for tr in range(bt):
+                s = sq_ref[gl, tr, col]
+                rows.append(src_ref[pl.ds(tr, 1),
+                                    pl.ds((s >> 7) * 128, GWe)])
+                res.append(s & 127)
+            z = jnp.concatenate(rows, axis=0).astype(jnp.int32)
+            resv = jnp.concatenate(
+                [r.reshape(1, 1) for r in res], axis=0)   # (bt, 1)
+            # out[x] = z[x + res]: rotate right by (GWe - res) =
+            # static (GWe - 128) + dynamic (128 - res), 8 bits
+            z = pltpu.roll(z, GWe - 128, 1)
+            z = _dyn_roll(z, 128 - resv, 8)
+            return z[:, :GWp]
+
         def group_body(gl, _):
             grp = pl_ref[pl.ds(gl, 1), :, :].reshape(bt, 128)
-            zq = zq_ref[pl.ds(gl, 1), :, :].reshape(bt, GWp).astype(jnp.int32)
-            zr = zr_ref[pl.ds(gl, 1), :, :].reshape(bt, GWp).astype(jnp.int32)
+            zq = load_windows(gl, q2_ref, 0)
+            zr = load_windows(gl, r2_ref, 1)
             c0w = grp[:, _L_DB:_L_DB + 1]
             adv = grp[:, _L_ADV:_L_ADV + 1]
             rst = grp[:, _L_RST:_L_RST + 1]
@@ -279,7 +308,14 @@ def _interleave2(sl, GWp, parity):
 
 
 def _build_planes(q_tape, r_flat, rowbase_g, rbase_g, a_g0, dbase_g, GWp):
-    """ZQ/ZR group planes, built on device.
+    """ZQ/ZR group planes via gather — REFERENCE ORACLE ONLY.
+
+    The production kernel loads each group's window as one lane-domain
+    slice of the repeat-2 tapes inside the kernel (see wavetape_forward);
+    this gather formulation (one XLA DMA per (group, track) slice,
+    measured 0.82 us/wavefront — 80% of forward time) is kept as the
+    independent oracle for tests/test_wavetape.py's lane-math check.
+    NOTE: expects the UNREVERSED q tape layout.
 
     ZQ[g, b, x] = q_tape[b, rowbase + sq], sq = (Kq - x)//2 - 1 with
     Kq = a_g0 + G - 1 - dbase_g (descending by 1 every 2 lanes);
@@ -338,7 +374,8 @@ def wavetape_forward(q_tape, r_flat, adv8, gflags, n_t, m_t, r_base,
     B, NG = adv8.shape
     GWp = _region_width(W)
     LA = NG * G
-    T = min(LA, _chunk_wavefronts(W, B))
+    resident = 2 * B * (q_tape.shape[1] + r_flat.shape[1])
+    T = min(LA, _chunk_wavefronts(W, B, resident))
     n_chunks = LA // T
 
     gfl = gflags.astype(jnp.int32)
@@ -361,8 +398,20 @@ def wavetape_forward(q_tape, r_flat, adv8, gflags, n_t, m_t, r_base,
         plane = plane.at[:, :, idx].set(vals)
     plane = jnp.transpose(plane, (1, 0, 2))            # (NG, B, 128)
 
-    zq, zr = _build_planes(q_tape, r_flat, rowb_g, rb_g, a_g0, dbase_g,
-                           GWp)
+    # lane-domain tapes: each base duplicated onto 2 lanes so a group's
+    # ZQ/ZR window is ONE ascending slice (q stored task-reversed by the
+    # host builder). S such that q2[S + x] = q[(Kq - x)//2 - 1] and
+    # r2[S + x] = r[rb + (Kr + x)//2 - 1] — exact for either parity by
+    # the floor-division identity (x - K + 1)>>1 == -((K - x)>>1).
+    q2 = jnp.repeat(q_tape, 2, axis=1)
+    r2 = jnp.repeat(r_flat, 2, axis=1)
+    kq = a_g0 + G - 1 - dbase_g
+    # clip bound leaves room for the kernel's 128-aligned GWp+128 load
+    sq = jnp.clip(2 * (rowb_g + takeg(n_t)) + 1 - kq,
+                  0, q2.shape[1] - GWp - 128)
+    kr = a_g0 + dbase_g
+    sr = jnp.clip(2 * (rb_g - 1) + kr, 0, r2.shape[1] - GWp - 128)
+    sqsr = jnp.transpose(jnp.stack([sq, sr], axis=-1), (1, 0, 2))
 
     kernel = _make_wavetape_kernel(T, W, GWp, B, scoring, config,
                                    need_moves)
@@ -385,15 +434,15 @@ def wavetape_forward(q_tape, r_flat, adv8, gflags, n_t, m_t, r_base,
         in_specs=[
             pl.BlockSpec((T // G, B, 128), lambda ch: (ch, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T // G, B, GWp), lambda ch: (ch, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T // G, B, GWp), lambda ch: (ch, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # q2 (B, 2 LR)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # r2 (B, 2 M)
+            pl.BlockSpec((T // G, B, 2), lambda ch: (ch, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-    )(plane, zq, zr)
+    )(plane, q2, r2, sqsr)
     if need_moves:
         moves, best_slots = outs
     else:
@@ -433,7 +482,13 @@ def _make_wavetape_walker(T, W, n_chunks, TT):
         """Scalar SMEM walk in (wavefront address, diagonal lane) space;
         the structure of ops/pallas_tape._make_tape_traceback_kernel with
         the address math a = abase + i + j, lane = (j - i) - dbase[a].
-        One record per VISITED wavefront: 1 = M, 2 = D, 3 = I."""
+
+        Records: 1 = M at the visited wavefront; an extension-chained
+        indel RUN of length L emits ONE record op | (L << 2) (op 2 = D,
+        3 = I) at the run's LAST-walked (lowest) address, covering
+        addresses [a, a + L). Chain-internal addresses stay 0. High-error
+        reads carry ~2.2x fewer run records than per-address records —
+        the records fetch is the wave path's dominant tunnel cost."""
         b = pl.program_id(0)
         chunk_rev = pl.program_id(1)
         chunk = n_chunks - 1 - chunk_rev
@@ -449,6 +504,7 @@ def _make_wavetape_walker(T, W, n_chunks, TT):
             st_scr[2] = jnp.where(k0 >= 0, endj_ref[b, kc], 0)
             st_scr[3] = 0
             st_scr[4] = jnp.where(k0 >= 0, abase_ref[b, kc], 0)
+            st_scr[5] = 0                      # current run length
 
         def _zero_rec(t, _):
             rec_ref[0, t // 8, t % 8] = 0
@@ -457,7 +513,7 @@ def _make_wavetape_walker(T, W, n_chunks, TT):
         jax.lax.fori_loop(0, T, _zero_rec, 0)
 
         def cond(state):
-            task_k, i, j, s, ab = state
+            task_k, i, j, s, ab, cnt = state
             addr = ab + i + j
             # addresses are 0-indexed within the chunk (t = addr -
             # chunk_lo), so the boundary address addr == chunk_lo
@@ -466,7 +522,7 @@ def _make_wavetape_walker(T, W, n_chunks, TT):
                                     | ((j == 0) & (s == 0)))
 
         def body(state):
-            task_k, i, j, s, ab = state
+            task_k, i, j, s, ab, cnt = state
             row0_stop = i == 0
             col0_stop = (~row0_stop) & (s == 0) & (j == 0)
 
@@ -487,8 +543,24 @@ def _make_wavetape_walker(T, W, n_chunks, TT):
             is_d = act == 1
             is_i = act == 2
 
-            rec = jnp.where(stopping, rec_ref[0, t // 8, t % 8],
-                            jnp.where(is_m, 1, jnp.where(is_d, 2, 3)))
+            e_ext = ((cell >> 2) & 1) == 1
+            f_ext = ((cell >> 3) & 1) == 1
+            ni = jnp.where(is_m | is_i, i - 1, i)
+            nj = jnp.where(is_m | is_d, j - 1, j)
+            ns = jnp.where(is_d & e_ext & (nj > 0), 1,
+                           jnp.where(is_i & f_ext & (ni > 0), 2, 0))
+
+            # run records: the chain continues while ns != 0; at the
+            # chain's last element (a gap move with ns == 0) publish
+            # op | (length << 2) at this (lowest) address. Runs split
+            # every 63 steps so the record value fits 8 bits (the
+            # sparse fetch packs flat index << 8 | value into one int32)
+            chain_end = (is_d | is_i) & ((ns == 0) | (cnt >= 62))
+            run_val = jnp.where(is_d, 2, 3) | ((cnt + 1) << 2)
+            rec = jnp.where(
+                stopping | ((is_d | is_i) & ~chain_end),
+                rec_ref[0, t // 8, t % 8],
+                jnp.where(is_m, 1, run_val))
             rec_ref[0, t // 8, t % 8] = rec
 
             @pl.when(stopping)
@@ -498,12 +570,8 @@ def _make_wavetape_walker(T, W, n_chunks, TT):
                 fin_ref[b, 4 * kc + 1] = j
                 fin_ref[b, 4 * kc + 2] = code
 
-            e_ext = ((cell >> 2) & 1) == 1
-            f_ext = ((cell >> 3) & 1) == 1
-            ni = jnp.where(is_m | is_i, i - 1, i)
-            nj = jnp.where(is_m | is_d, j - 1, j)
-            ns = jnp.where(is_d & e_ext & (nj > 0), 1,
-                           jnp.where(is_i & f_ext & (ni > 0), 2, 0))
+            ncnt = jnp.where(stopping | (ns == 0) | (cnt >= 62), 0,
+                             jnp.where(is_d | is_i, cnt + 1, 0))
 
             nk = task_k - 1
             nkc = jnp.clip(nk, 0, TT - 1)
@@ -512,12 +580,12 @@ def _make_wavetape_walker(T, W, n_chunks, TT):
             j = jnp.where(stopping, endj_ref[b, nkc], nj)
             s = jnp.where(stopping, 0, ns)
             ab = jnp.where(stopping, abase_ref[b, nkc], ab)
-            return (task_k, i, j, s, ab)
+            return (task_k, i, j, s, ab, ncnt)
 
         out = jax.lax.while_loop(cond, body, (st_scr[0], st_scr[1],
                                               st_scr[2], st_scr[3],
-                                              st_scr[4]))
-        for i in range(5):
+                                              st_scr[4], st_scr[5]))
+        for i in range(6):
             st_scr[i] = out[i]
 
     return kernel
@@ -563,7 +631,7 @@ def wavetape_traceback(moves, db_rows, n_tasks, end_i, end_j, abase, W,
             jax.ShapeDtypeStruct((B, LA // 8, 8), jnp.int32),
             jax.ShapeDtypeStruct((B, 4 * TT), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((5,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((6,), jnp.int32)],
     )(moves, db_rows.reshape(B, LA // 8, 8).astype(jnp.int32),
       n_tasks.astype(jnp.int32), end_i.astype(jnp.int32),
       end_j.astype(jnp.int32), abase.astype(jnp.int32))
@@ -597,11 +665,12 @@ def wave_records_to_cigar(records_row, abase, end_i, end_j, final_i,
 
     `records_row` is the track's fetched records array; the record of
     the path cell at task-local wavefront a = i + j lives at address
-    abase + a (1 = M, 2 = D, 3 = I). Only D/I entries need to be
-    trustworthy (they are shipped explicitly by the sparse fetch); M
-    entries may be the rebuilt default 1 and M-skipped addresses are
-    never read: the decode walks event-to-event with M strides of 2
-    filling the gaps."""
+    abase + a. 1 = a single M step; op | (L << 2) (op 2 = D, 3 = I) = an
+    indel run of length L covering addresses [a, a + L). Only run
+    entries need to be trustworthy (they are shipped explicitly by the
+    sparse fetch); M entries may be the rebuilt default 1 and unvisited
+    (or run-internal) addresses are never read: the decode walks
+    event-to-event with M strides of 2 filling the gaps."""
     end_i = int(end_i)
     end_j = int(end_j)
     final_i = int(final_i)
@@ -632,31 +701,36 @@ def wave_records_to_cigar(records_row, abase, end_i, end_j, final_i,
     abase = int(abase)
     span = records_row[abase + a_fin + 1:abase + a_end + 1] \
         if a_end > a_fin else np.zeros(0, np.int32)
-    ev_rel = np.nonzero((span == 2) | (span == 3))[0]
+    ev_rel = np.nonzero(span >= 6)[0]                # run records
     ev_addr = ev_rel + a_fin + 1                     # ascending
     ev_vals = span[ev_rel]
+    ev_ops = ev_vals & 3                             # 2 = D, 3 = I
+    ev_cnts = ev_vals >> 2
+    if np.any((ev_ops < 2) | (ev_cnts < 1)):
+        return None                      # corrupt records: retry
 
-    # descending event addresses; M runs fill the stride-2 gaps
+    # descending events; each covers addresses [addr, addr + cnt); M
+    # strides of 2 fill the gaps between run spans
     ev_addr_d = ev_addr[::-1]
-    ev_vals_d = ev_vals[::-1]
+    ev_ops_d = ev_ops[::-1]
+    ev_cnts_d = ev_cnts[::-1].astype(np.int64)
     K = len(ev_addr_d)
-    # gaps: a_end..p1, p_k-1..p_{k+1}, p_K-1..a_fin
     uppers = np.concatenate([[a_end], ev_addr_d - 1])
-    lowers = np.concatenate([ev_addr_d, [a_fin]])
+    lowers = np.concatenate([ev_addr_d + ev_cnts_d - 1, [a_fin]])
     m_gaps = uppers - lowers                          # K+1 entries
     if np.any(m_gaps < 0) or np.any(m_gaps & 1):
         return None                      # inconsistent records: retry
     m_counts = m_gaps >> 1
 
-    # reverse-chronological op list: [M x m0] ev1 [M x m1] ev2 ... ;
+    # reverse-chronological op list: [M x m0] run1 [M x m1] run2 ... ;
     # forward order is its reverse
     n_ops = K + K + 1
     op_types = np.empty(n_ops, np.int8)   # 0 M, 1 I, 2 D
     op_counts = np.empty(n_ops, np.int64)
     op_types[0::2] = 0
     op_counts[0::2] = m_counts
-    op_types[1::2] = np.where(ev_vals_d == 2, 2, 1)
-    op_counts[1::2] = 1
+    op_types[1::2] = np.where(ev_ops_d == 2, 2, 1)
+    op_counts[1::2] = ev_cnts_d
     # forward = reversed
     op_types = op_types[::-1]
     op_counts = op_counts[::-1]

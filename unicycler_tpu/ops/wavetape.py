@@ -167,7 +167,11 @@ def _build_one(tasks, metas, assign, NG_real, W, bt) -> WaveLaunch:
         for ti in assign[tr]:
             t = tasks[ti]
             _, n, m, a0, ng, dbase = metas[ti]
-            q_tape[tr, row_cursor:row_cursor + n] = t.q
+            # q is stored REVERSED per task: the kernel's ZQ window
+            # descends in lane index, so reversal makes the per-group
+            # window a single ascending lane-domain slice
+            # (pallas_wavetape docstring, "lane-domain windows")
+            q_tape[tr, row_cursor:row_cursor + n] = t.q[::-1]
             r_flat[tr, r_cursor + W:r_cursor + W + m] = t.r
 
             # group windows: advance deltas within the task; 0 at reset
