@@ -1,0 +1,114 @@
+"""Scaling curve: alignment throughput vs device count.
+
+BASELINE.md asks for reads/s measured at 1 chip / 1 host / N hosts.
+Real hardware here is a single tunnelled v5e chip, so the curve runs
+the data-parallel mesh path (ops/banded.align_banded_multi — per-device
+tape partitions, the production multi-chip route) on 1/2/4/8 VIRTUAL
+CPU devices to measure sharding efficiency, plus the real chip at n=1
+for the absolute number. Virtual devices share one host's cores, so
+ideal scaling is bounded by core count; the interesting signal is the
+partition balance and per-device dispatch overhead, not the absolute
+CPU rate.
+
+Each device count runs in a SUBPROCESS (the virtual device count is
+fixed at backend init).
+
+Usage: python scripts/scaling_curve.py [--reads 48] [--len 2000]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+_CHILD = r'''
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+n_dev = %(n_dev)d
+on_tpu = %(on_tpu)r
+if not on_tpu:
+    os.environ['XLA_FLAGS'] = \
+        '--xla_force_host_platform_device_count=%%d' %% n_dev
+    os.environ['UNICYCLER_TPU_FORCE_MESH'] = '1'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+else:
+    import jax
+import numpy as np
+from unicycler_tpu.ops import banded as banded_ops
+from unicycler_tpu.ops.pairwise import Scoring, SEMI_GLOBAL
+from unicycler_tpu.parallel import mesh as mesh_mod
+
+rng = np.random.default_rng(7)
+n_reads, read_len = %(reads)d, %(length)d
+ref = rng.integers(0, 4, 60000, dtype=np.int64)
+tasks = []
+for i in range(n_reads):
+    start = int(rng.integers(0, len(ref) - read_len))
+    q = ref[start:start + read_len].copy()
+    err = rng.random(read_len) < 0.10
+    q[err] = (q[err] + rng.integers(1, 4, int(err.sum()))) %% 4
+    anchors = np.arange(0, read_len + 1, 256, dtype=np.int32)
+    tasks.append(banded_ops.BandedTask(
+        q=q.astype(np.int8), r=ref[start:start + read_len + 200].astype(np.int8),
+        corridor_read=anchors, corridor_ref=anchors))
+
+if n_dev > 1 or (not on_tpu):
+    mesh_mod.set_default_mesh(mesh_mod.get_mesh(jax.devices()[:n_dev]))
+scoring = Scoring(3, -6, -5, -2)
+res = banded_ops.align_banded(tasks, scoring, config=SEMI_GLOBAL, band=100)
+assert sum(1 for r in res if r.score > 0) >= n_reads * 9 // 10
+times = []
+for _ in range(3):
+    t0 = time.time()
+    banded_ops.align_banded(tasks, scoring, config=SEMI_GLOBAL, band=100)
+    times.append(time.time() - t0)
+times.sort()
+print(json.dumps({'devices': n_dev, 'platform': 'tpu' if on_tpu else 'cpu',
+                  'reads': n_reads,
+                  'reads_per_s': round(n_reads / times[len(times) // 2], 2)}))
+'''
+
+
+def run_child(n_dev, on_tpu, reads, length):
+    code = _CHILD % {'repo': REPO, 'n_dev': n_dev, 'on_tpu': on_tpu,
+                     'reads': reads, 'length': length}
+    env = dict(os.environ)
+    out = subprocess.run([sys.executable, '-c', code], env=env,
+                         capture_output=True, text=True, timeout=1800)
+    lines = [l for l in out.stdout.splitlines() if l.startswith('{')]
+    if not lines:
+        print('FAILED n_dev=%d: %s' % (n_dev, out.stderr[-2000:]))
+        return None
+    return json.loads(lines[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--reads', type=int, default=48)
+    ap.add_argument('--len', dest='length', type=int, default=2000)
+    ap.add_argument('--skip-tpu', action='store_true')
+    args = ap.parse_args()
+    rows = []
+    if not args.skip_tpu:
+        r = run_child(1, True, args.reads, args.length)
+        if r:
+            rows.append(r)
+    for n in (1, 2, 4, 8):
+        r = run_child(n, False, args.reads, args.length)
+        if r:
+            rows.append(r)
+    base = next((r['reads_per_s'] for r in rows
+                 if r['platform'] == 'cpu' and r['devices'] == 1), None)
+    for r in rows:
+        if base and r['platform'] == 'cpu':
+            r['speedup_vs_1dev'] = round(r['reads_per_s'] / base, 2)
+        print(json.dumps(r))
+
+
+if __name__ == '__main__':
+    main()

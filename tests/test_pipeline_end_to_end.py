@@ -113,6 +113,31 @@ def test_verbosity_monotonic_stdout(tmp_path, capfd):
     assert sizes[2] > sizes[0]
 
 
+def test_depth_filter_resume(tmp_path, capfd):
+    """A rerun over an output directory with --keep >= 1 must resume
+    from the 002_depth_filter checkpoint instead of re-assembling
+    (the reference's own resume point, ref unicycler.py:71-74; round 3
+    fixed a numbering mismatch that kept this from ever firing), and
+    must produce the identical assembly."""
+    from unicycler_tpu.pipeline.main import main
+    genome = rand_genome(6000, 9)
+    pairs_1, pairs_2 = make_fake_short_reads(genome)
+    r1 = str(tmp_path / 'r1.fastq')
+    r2 = str(tmp_path / 'r2.fastq')
+    write_fastq(r1, pairs_1)
+    write_fastq(r2, pairs_2)
+    out = str(tmp_path / 'out')
+    args = ['-1', r1, '-2', r2, '-o', out, '--verbosity', '1',
+            '--keep', '1', '--kmers', '21,41']
+    main(args)
+    assert os.path.exists(os.path.join(out, '002_depth_filter.gfa'))
+    first = open(os.path.join(out, 'assembly.fasta')).read()
+    capfd.readouterr()
+    main(args)
+    assert 'Resuming from existing graph' in capfd.readouterr().out
+    assert open(os.path.join(out, 'assembly.fasta')).read() == first
+
+
 def test_spades_gfa_interop(tmp_path):
     """External-SPAdes interop: the reference's real SPAdes-derived GFA
     fixture (segments, links, P-line paths) drives the whole pipeline
@@ -184,6 +209,62 @@ def test_short_read_assembly_with_errors(tmp_path):
     _, seq = fasta[0]
     assert sequence_matches_any_rotation(seq, genome), \
         'assembled %d bp vs truth %d bp' % (len(seq), len(genome))
+
+
+def test_short_read_assembly_high_error_indels(tmp_path):
+    """2% error with a 30% indel fraction — harder than the 1%
+    substitution-dominated case: the spectrum corrector only fixes
+    substitutions, so the graph-cleaning rules (tips, erroneous
+    connections, bubbles) must absorb the indel k-mers."""
+    from unicycler_tpu.pipeline.main import main
+    genome = rand_genome(8000, 555)
+    pairs_1, pairs_2 = make_fake_short_reads(genome, error_rate=0.02,
+                                             seed=21, indel_frac=0.3)
+    r1 = str(tmp_path / 'r1.fastq')
+    r2 = str(tmp_path / 'r2.fastq')
+    write_fastq(r1, pairs_1)
+    write_fastq(r2, pairs_2)
+    out = str(tmp_path / 'out')
+    main(['-1', r1, '-2', r2, '-o', out, '--verbosity', '0',
+          '--keep', '0', '--min_fasta_length', '100'])
+    fasta = load_fasta(os.path.join(out, 'assembly.fasta'))
+    assert len(fasta) == 1, [len(s) for _, s in fasta]
+    _, seq = fasta[0]
+    assert sequence_matches_any_rotation(seq, genome), \
+        'assembled %d bp vs truth %d bp' % (len(seq), len(genome))
+
+
+def test_short_read_assembly_uneven_coverage(tmp_path):
+    """Coverage variation (GC-bias stand-in): one genome half at full
+    tiling depth, the other subsampled to ~30%. Cleaning thresholds
+    keyed to the MEDIAN depth must not delete the thin half."""
+    from unicycler_tpu.pipeline.main import main
+    genome = rand_genome(9000, 777)
+    pairs_1, pairs_2 = make_fake_short_reads(genome, error_rate=0.01,
+                                             seed=31)
+    rng = random.Random(99)
+    half = len(genome) // 2
+    keep_1, keep_2 = [], []
+    for k, (p1, p2) in enumerate(zip(pairs_1, pairs_2)):
+        # fake reads are tiled: pair k's fragment starts at position k
+        if k < half or rng.random() < 0.3:
+            keep_1.append(p1)
+            keep_2.append(p2)
+    r1 = str(tmp_path / 'r1.fastq')
+    r2 = str(tmp_path / 'r2.fastq')
+    write_fastq(r1, keep_1)
+    write_fastq(r2, keep_2)
+    out = str(tmp_path / 'out')
+    main(['-1', r1, '-2', r2, '-o', out, '--verbosity', '0',
+          '--keep', '0', '--min_fasta_length', '100'])
+    fasta = load_fasta(os.path.join(out, 'assembly.fasta'))
+    total = sum(len(s) for _, s in fasta)
+    longest = max((s for _, s in fasta), key=len)
+    # the thin half must survive: near-complete reconstruction either
+    # as one circle or as a small number of long pieces
+    assert total >= 0.98 * len(genome), (total, len(genome))
+    assert len(fasta) <= 3, [len(s) for _, s in fasta]
+    assert len(longest) >= 0.45 * len(genome)
 
 
 def test_hybrid_assembly_with_errors(tmp_path):

@@ -124,6 +124,21 @@ def test_wavetape_matches_row_path_straight(config):
         assert g.cigar == w.cigar
 
 
+@pytest.mark.parametrize('W,band', [(1024, 400), (2048, 900)],
+                         ids=['W1024', 'W2048'])
+def test_wavetape_wide_bands_match_row_path(W, band):
+    """Wide bands (the path/cull scoring range) must stay exact — the
+    W-dependent tape pads exist because fixed 512-byte pads let wide
+    windows clip their lane-domain starts (silent window shift)."""
+    rng = np.random.default_rng(31)
+    tasks = _tasks(rng, [150, 400, 700])
+    for config in (SEMI_GLOBAL, FULLY_GLOBAL):
+        want = align_banded(tasks, SCORING, config=config, band=band)
+        got = _wave(tasks, config, W)
+        for g, w in zip(got, want):
+            assert g.score == w.score and g.cigar == w.cigar
+
+
 def test_wavetape_score_only_matches():
     rng = np.random.default_rng(5)
     tasks = _tasks(rng, [70, 130, 210, 90])

@@ -624,15 +624,15 @@ def _sparse_cap(walk_rows, records):
 def use_wavetape(W):
     """True when align_banded's tape path should use the anti-diagonal
     WAVEFRONT kernels (ops/pallas_wavetape) instead of the row kernels:
-    ~4.4x faster forward on hardware (PERF.md). Wide bands (W > 512)
-    keep the row kernels — the wavefront group body holds ~8 live
-    (bt, W) vregs and wide bands are the rolled-kernel minority.
-    Override with UNICYCLER_TPU_WAVETAPE=0/1."""
+    ~2.5x faster per cell end-to-end on hardware (PERF.md). Covers the
+    production band range (semi-global levels at 512/1024 and the
+    path/cull scoring at 1024-2048); wider bands keep the rolled row
+    kernels. Override with UNICYCLER_TPU_WAVETAPE=0/1."""
     import os
     env = os.environ.get('UNICYCLER_TPU_WAVETAPE')
     if env in ('0', '1'):
         return env == '1'
-    return W <= 512
+    return W <= 2048
 
 
 def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,

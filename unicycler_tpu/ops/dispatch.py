@@ -82,8 +82,49 @@ def batch_align(q_list: List[np.ndarray], r_list: List[np.ndarray],
                        for i in large_idx)
         eff_band = band + max_diff // 2
         tasks = [_diagonal_task(q_list[i], r_list[i]) for i in large_idx]
-        large = banded_ops.align_banded(tasks, scoring, config=config,
-                                        band=eff_band, need_cigar=need_cigar)
-        for i, pa in zip(large_idx, large):
-            results[i] = pa
+        # Adaptive two-tier banding (pinned-start configs with CIGARs):
+        # the corridor follows the (0,0)->(n,m) slope, so unlike the
+        # reference's fixed SeqAn diagonals a NARROW band usually holds
+        # the whole optimal path. Score everything at the narrow width
+        # first (W <= 512, the wavefront kernels); re-run at the full
+        # requested band only the tasks whose result is missing, empty,
+        # or whose traced path came within the safety margin of the
+        # narrow corridor's edge — for every other task the narrow
+        # result IS the wide result (DP locality). This moves the bulk
+        # of path/cull scoring off the W >= 1024 rolled kernels, whose
+        # per-shape executable (re)loads dominate bridging wall time on
+        # tunnelled devices.
+        narrow = settings.ADAPTIVE_GLOBAL_BAND
+        adaptive = (need_cigar and 0 < narrow < eff_band
+                    and not (config.free_start_s1 or config.free_start_s2))
+        if adaptive:
+            from ..utils import trace
+            W_n = banded_ops.band_width(narrow)
+            with trace.span('adaptive_narrow'):
+                first = banded_ops.align_banded(tasks, scoring,
+                                                config=config, band=narrow,
+                                                need_cigar=True)
+            rerun = []
+            for k, pa in enumerate(first):
+                if pa is None or (pa.score == 0 and not pa.cigar) \
+                        or banded_ops.path_band_margin(pa, tasks[k], W_n) \
+                        < settings.ADAPTIVE_GLOBAL_MARGIN:
+                    rerun.append(k)
+                else:
+                    results[large_idx[k]] = pa
+            trace.add('adaptive.narrow', len(tasks))
+            trace.add('adaptive.rerun', len(rerun))
+            if rerun:
+                with trace.span('adaptive_wide'):
+                    wide = banded_ops.align_banded(
+                        [tasks[k] for k in rerun], scoring, config=config,
+                        band=eff_band, need_cigar=need_cigar)
+                for k, pa in zip(rerun, wide):
+                    results[large_idx[k]] = pa
+        else:
+            large = banded_ops.align_banded(tasks, scoring, config=config,
+                                            band=eff_band,
+                                            need_cigar=need_cigar)
+            for i, pa in zip(large_idx, large):
+                results[i] = pa
     return results

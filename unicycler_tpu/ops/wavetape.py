@@ -43,11 +43,14 @@ from .tape import _bucket_geom, _bucket_pow2, choose_bt
 
 G = 32                  # wavefronts per group (kernel unroll unit)
 
-# global pads so device prolog slices never leave the arrays: q slices
-# reach ~(W + G)/2 rows past either task edge, r slices ~W/2 + G columns
-# past the per-task W sentinel pad (see module docstring on bleed).
-_QPAD_HEAD = 512
-_RPAD_HEAD = 512
+# global pads so device window loads never leave the arrays: q windows
+# reach ~(W + G)/2 rows past either task edge, r windows ~W/2 + G
+# columns past the per-task W sentinel pad (see module docstring on
+# bleed) — W-dependent so wide-band tapes (W up to 2048) keep their
+# lane-domain starts un-clipped (a clipped start silently SHIFTS the
+# whole window: caught as an end-of-task base mismatch at W=2048).
+def _pad_head(W):
+    return max(512, W)
 
 
 class WaveLaunch(NamedTuple):
@@ -148,8 +151,9 @@ def _build_one(tasks, metas, assign, NG_real, W, bt) -> WaveLaunch:
         for ti in assign[tr]:
             q_loads[tr] += metas[ti][1]
             r_sizes[tr] += metas[ti][2] + 2 * W
-    LR = _bucket_geom(int(q_loads.max()) + 2 * _QPAD_HEAD, 1024, 512)
-    M = _bucket_geom(int(r_sizes.max()) + 2 * _RPAD_HEAD, 1024, 512)
+    pad = _pad_head(W)
+    LR = _bucket_geom(int(q_loads.max()) + 2 * pad, 1024, 512)
+    M = _bucket_geom(int(r_sizes.max()) + 2 * pad, 1024, 512)
 
     q_tape = np.full((bt, LR), Q_PAD, np.uint8)
     r_flat = np.full((bt, M), R_PAD, np.int8)
@@ -161,8 +165,8 @@ def _build_one(tasks, metas, assign, NG_real, W, bt) -> WaveLaunch:
     n_tasks = np.zeros(bt, np.int32)
 
     for tr in range(bt):
-        row_cursor = _QPAD_HEAD
-        r_cursor = _RPAD_HEAD
+        row_cursor = pad
+        r_cursor = pad
         g_cursor = 0
         for ti in assign[tr]:
             t = tasks[ti]

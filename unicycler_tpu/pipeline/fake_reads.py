@@ -40,7 +40,8 @@ def _mutate_read(seq, error_rate, rng, indel_frac=0.1):
 
 
 def make_fake_short_reads(genome, read_length=100, insert_size=300,
-                          circular=True, error_rate=0.0, seed=0):
+                          circular=True, error_rate=0.0, seed=0,
+                          indel_frac=0.1):
     """Returns (pairs_1, pairs_2): lists of (name, seq, qual) tuples with
     every genome position covered on both strands. error_rate > 0 applies
     the Illumina-style error model per read."""
@@ -57,8 +58,8 @@ def make_fake_short_reads(genome, read_length=100, insert_size=300,
         read_1 = fragment[:read_length]
         read_2 = reverse_complement(fragment[-read_length:])
         if error_rate > 0:
-            read_1 = _mutate_read(read_1, error_rate, rng)
-            read_2 = _mutate_read(read_2, error_rate, rng)
+            read_1 = _mutate_read(read_1, error_rate, rng, indel_frac)
+            read_2 = _mutate_read(read_2, error_rate, rng, indel_frac)
         read_num += 1
         pairs_1.append(('fake_%d/1' % read_num, read_1, qual))
         pairs_2.append(('fake_%d/2' % read_num, read_2, qual))

@@ -103,6 +103,12 @@ def get_arguments(args=None):
                             'sequence')
     other.add_argument('--min_anchor_seg_len', type=int, default=None,
                        help=ext('Minimum length for anchor segments'))
+    other.add_argument('--bridge_rounds', type=int, default=2,
+                       help=ext('Long-read bridging rounds: later rounds '
+                                're-anchor on the merged graph so the '
+                                'same reads can span junctions the first '
+                                'round\'s short anchors could not reach '
+                                '(1 = reference-equivalent single round)'))
 
     spades = parser.add_argument_group('SPAdes-compatible assembly options')
     spades.add_argument('--spades_path', default='spades.py',
@@ -302,29 +308,47 @@ def main(arg_list=None):
     if graph is None and string_graph is None:
         quit_with_error('assembly failed: no graph produced')
 
-    if graph is not None and long_reads_available:
-        if string_graph is not None and not args.no_miniasm:
-            bridges += create_miniasm_bridges(
-                graph, string_graph, anchor_segments, scoring_scheme,
-                args.verbosity, args.min_bridge_qual)
-        if not args.no_simple_bridges:
-            bridges += create_simple_long_read_bridges(
-                graph, args.out, args.keep, args.threads, read_dict,
-                long_read_filename, scoring_scheme, anchor_segments)
-        if not args.no_long_read_alignment:
-            with trace.span('long_read_alignment'):
-                read_names, min_scaled_score, min_alignment_length = \
-                    align_long_reads_to_assembly_graph(
-                        graph, anchor_segments, args, read_dict,
-                        read_names, long_read_filename)
-            expected_linear_seqs = args.linear_seqs > 0
-            bridges += create_long_read_bridges(
-                graph, read_dict, read_names, anchor_segments,
-                args.verbosity, min_scaled_score, args.threads,
-                scoring_scheme, min_alignment_length, expected_linear_seqs,
-                args.min_bridge_qual)
-
-    if graph is not None:
+    rounds = max(1, args.bridge_rounds) if graph is not None else 0
+    for bridge_round in range(rounds):
+        if bridge_round > 0:
+            # Later rounds re-anchor on the MERGED graph: junctions the
+            # first round's short anchors could not reach are now
+            # flanked by long merged anchors, so the same reads yield
+            # new spanning pairs. (The reference bridges once; multiple
+            # rounds are a capability extension — --bridge_rounds 1
+            # restores single-round behaviour.)
+            if not long_reads_available or args.no_long_read_alignment:
+                break
+            determine_copy_depth(graph)
+            anchor_segments = get_anchor_segments(graph,
+                                                  args.min_anchor_seg_len)
+            bridges = []
+            for read_name in read_names:   # round-1 alignments are stale
+                read_dict[read_name].alignments = []
+        if long_reads_available:
+            if bridge_round == 0 and string_graph is not None \
+                    and not args.no_miniasm:
+                bridges += create_miniasm_bridges(
+                    graph, string_graph, anchor_segments, scoring_scheme,
+                    args.verbosity, args.min_bridge_qual)
+            if bridge_round == 0 and not args.no_simple_bridges:
+                bridges += create_simple_long_read_bridges(
+                    graph, args.out, args.keep, args.threads, read_dict,
+                    long_read_filename, scoring_scheme, anchor_segments)
+            if not args.no_long_read_alignment:
+                with trace.span('long_read_alignment'):
+                    read_names, min_scaled_score, min_alignment_length = \
+                        align_long_reads_to_assembly_graph(
+                            graph, anchor_segments, args, read_dict,
+                            read_names, long_read_filename)
+                expected_linear_seqs = args.linear_seqs > 0
+                bridges += create_long_read_bridges(
+                    graph, read_dict, read_names, anchor_segments,
+                    args.verbosity, min_scaled_score, args.threads,
+                    scoring_scheme, min_alignment_length,
+                    expected_linear_seqs, args.min_bridge_qual)
+        if bridge_round > 0 and not bridges:
+            break
         with trace.span('apply_bridges'):
             seg_nums_used_in_bridges = graph.apply_bridges(
                 bridges, args.verbosity, args.min_bridge_qual)
@@ -339,6 +363,10 @@ def main(arg_list=None):
             seg_nums_used_in_bridges, args.min_component_size,
             args.min_dead_end_size, graph, anchor_segments)
         graph.merge_all_possible(anchor_segments, args.mode)
+        if bridge_round > 0 and not seg_nums_used_in_bridges:
+            break
+
+    if graph is not None:
         graph.final_clean()
         if args.keep > 0:
             graph.save_to_gfa(gfa_path(args.out, next(counter),
@@ -371,6 +399,13 @@ def obtain_short_read_graph(args, counter):
     """Short-read assembly graph: user-supplied GFA, a previous run's
     checkpoint (the reference's resume point, unicycler.py:71-74), or the
     built-in de Bruijn assembler."""
+    # Counter slot 001 is the raw assembler graph (written by
+    # build_best_short_read_graph); consuming it here keeps the
+    # depth_filter checkpoint at 002 on EVERY path, so the resume file
+    # a previous run wrote is the file this run looks for (the round-3
+    # fix: main numbered depth_filter 001 while resume looked for 002,
+    # so the documented resume never fired).
+    next(counter)
     if args.short_read_graph:
         log.log('Using provided short-read graph: ' + args.short_read_graph)
         return AssemblyGraph(args.short_read_graph, None)
@@ -468,7 +503,10 @@ def sam_references_match(sam_filename, assembly_graph):
                 ref_numbers.add(int(name_parts[1]))
             except ValueError:
                 pass
-    return ref_numbers.issubset(set(assembly_graph.segments.keys()))
+    # EXACT match, like the reference (unicycler.py:573-597): a subset
+    # test accepted a stale SAM aligned against a DIFFERENT (merged)
+    # graph whose numbers happened to be a subset of this one's.
+    return ref_numbers == set(assembly_graph.segments.keys())
 
 
 def align_long_reads_to_assembly_graph(graph, anchor_segments, args,

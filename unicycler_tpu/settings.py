@@ -41,6 +41,15 @@ BAND_SIZES = (200, 250, 300, 350)
 # extra W bucket pays its own executable-load tax through the tunnel.)
 REFINE_BAND = 200
 REFINE_MARGIN = 64
+# Two-tier global/path scoring (ops/dispatch.batch_align): narrow first
+# pass, re-running at the caller's full band when the narrow path hugs
+# its corridor edge. 0 = DISABLED (the measured default): candidate
+# paths routinely differ from the consensus by whole segments, so the
+# localized gaps escape any narrow band and the rerun rate makes two
+# tiers cost more round trips than one wide pass — the wide bands ride
+# the wavefront kernels instead (ops/banded.use_wavetape, W <= 2048).
+ADAPTIVE_GLOBAL_BAND = 0
+ADAPTIVE_GLOBAL_MARGIN = 48
 FINE_ANCHOR_MAX_DIST = 300                # corridor collection distance
 FINE_ANCHOR_MAX_OCC = 256                 # per-kmer occurrence cap
 MIN_LINE_TRACE_COUNTS = (2, 2, 3, 4)      # candidate corridors always tried
