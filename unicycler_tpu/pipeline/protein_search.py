@@ -207,3 +207,116 @@ def search_protein(gene: np.ndarray, frame: np.ndarray,
         if best is None or hit.score > best.score:
             best = hit
     return best
+
+
+def _word_array(a: np.ndarray, word: int) -> np.ndarray:
+    """Packed overlapping protein words of `a` (base-N_CODES int64)."""
+    n = len(a) - word + 1
+    if n <= 0:
+        return np.empty(0, np.int64)
+    w = a[:n].astype(np.int64).copy()
+    for off in range(1, word):
+        w = w * np.int64(N_CODES) + a[off:n + off]
+    return w
+
+
+def search_gene_database(gene_codes: List[np.ndarray],
+                         frame_codes: List[np.ndarray],
+                         word: int = 5, bin_size: int = 16,
+                         min_hits: int = 3, max_candidates: int = 40,
+                         margin: int = 60, identity_threshold: float = 0.0,
+                         coverage_threshold: float = 0.0):
+    """Best glocal hit of ANY gene in ANY frame — the whole-database
+    search the rotation driver needs (the reference gets this from one
+    tblastn call over all 2,631 start genes, ref blast_func.py:65-98).
+
+    Per-gene search does not scale to the bundled database, so this is
+    BLAST-shaped: one concatenated word index over every gene, exact
+    word-5 lookups against each frame, candidates = (gene, frame,
+    diagonal-bin) groups with >= min_hits seeds (the two-hit criterion,
+    generalised), ranked by seed count; the full affine DP runs only on
+    the top candidates. Like the reference (ref blast_func.py:84-89,
+    best bitscore AMONG hits passing the id/cov thresholds), candidates
+    failing the thresholds do not compete. Returns
+    (ProteinHit, gene_idx, frame_idx) or None.
+    """
+    # one flat word table over all genes
+    gw_parts, gid_parts, gpos_parts = [], [], []
+    for gi, g in enumerate(gene_codes):
+        w = _word_array(g, word)
+        if not len(w):
+            continue
+        gw_parts.append(w)
+        gid_parts.append(np.full(len(w), gi, np.int32))
+        gpos_parts.append(np.arange(len(w), dtype=np.int64))
+    if not gw_parts:
+        return None
+    gw = np.concatenate(gw_parts)
+    gid = np.concatenate(gid_parts)
+    gpos = np.concatenate(gpos_parts)
+    order = np.argsort(gw, kind='stable')
+    gw_sorted, gid_sorted, gpos_sorted = gw[order], gid[order], gpos[order]
+
+    n_frames = len(frame_codes)
+    cand = {}                     # (gene, frame, bin) -> hit count
+    for fi, frame in enumerate(frame_codes):
+        fw = _word_array(frame, word)
+        if not len(fw):
+            continue
+        lo = np.searchsorted(gw_sorted, fw, 'left')
+        hi = np.searchsorted(gw_sorted, fw, 'right')
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        fpos = np.repeat(np.arange(len(fw), dtype=np.int64), counts)
+        offsets = np.cumsum(counts) - counts
+        flat = (np.repeat(lo - offsets, counts)
+                + np.arange(total, dtype=np.int64))
+        hit_gid = gid_sorted[flat]
+        hit_diag_bin = (fpos - gpos_sorted[flat]) // bin_size
+        key = (hit_gid.astype(np.int64) * np.int64(2 ** 24)
+               + (hit_diag_bin + np.int64(2 ** 22)))
+        uniq, ucounts = np.unique(key, return_counts=True)
+        keep = ucounts >= min_hits
+        for k, c in zip(uniq[keep], ucounts[keep]):
+            g = int(k >> 24)
+            b = int(k & (2 ** 24 - 1)) - 2 ** 22
+            cand[(g, fi, b)] = int(c)
+
+    if not cand:
+        return None
+    # merge adjacent bins of the same (gene, frame): a true hit's seeds
+    # straddle bin edges
+    merged = {}
+    for (g, fi, b), c in sorted(cand.items()):
+        prev = (g, fi, b - 1)
+        tgt = merged.pop(prev, None)
+        if tgt is not None:
+            merged[(g, fi, b)] = (tgt[0] + c, tgt[1])
+        else:
+            merged[(g, fi, b)] = (c, b)
+    ranked = sorted(((c, g, fi, (b0 * bin_size + (b + 1) * bin_size) // 2)
+                     for (g, fi, b), (c, b0) in merged.items()),
+                    key=lambda t: (-t[0], t[1], t[2], t[3]))
+
+    best = None
+    for c, g, fi, centre in ranked[:max_candidates]:
+        gene, frame = gene_codes[g], frame_codes[fi]
+        lo_w = max(0, centre - margin)
+        hi_w = min(len(frame), centre + len(gene) + margin)
+        if hi_w - lo_w < len(gene) // 2:
+            continue
+        score, ws, we, matches, cols = _glocal_dp(gene, frame[lo_w:hi_w])
+        if cols == 0:
+            continue
+        hit = ProteinHit(score=score,
+                         identity=100.0 * matches / cols,
+                         coverage=100.0,
+                         window_start=lo_w + ws, window_end=lo_w + we)
+        if hit.identity < identity_threshold \
+                or hit.coverage < coverage_threshold:
+            continue
+        if best is None or hit.score > best[0].score:
+            best = (hit, g, fi)
+    return best

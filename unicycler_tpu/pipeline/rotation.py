@@ -8,8 +8,9 @@ queries (dnaA/repA) are found with a seeded BLOSUM62 glocal aligner
 (pipeline/protein_search.py) — tblastn's scoring model, no external
 binaries at all (SURVEY.md §7.9).
 
-Rotation is ON by default like the reference: a DnaA start-gene
-database ships in gene_data/ (see gene_data/README.md), and replicons
+Rotation is ON by default like the reference: the full 2,631-sequence
+dnaA+repA start-gene database ships in gene_data/ (see
+gene_data/README.md for provenance), and replicons
 with no gene hit are rotated to a deterministic canonical position
 (lexicographically minimal rotation over both strands) so default runs
 produce stable, comparable output.
@@ -69,6 +70,25 @@ def encode_protein(seq: str) -> np.ndarray:
                     dtype=np.int8)
 
 
+# encoded start-gene database cache: path -> (mtime, names, code arrays)
+_GENE_DB_CACHE = {}
+
+
+def _load_gene_db(start_genes_fasta):
+    from .protein_search import encode_aa
+    key = os.path.abspath(start_genes_fasta)
+    mtime = os.path.getmtime(key)
+    cached = _GENE_DB_CACHE.get(key)
+    if cached is not None and cached[0] == mtime:
+        return cached[1], cached[2]
+    genes = load_fasta(start_genes_fasta)
+    names = [n for n, s in genes]
+    codes = [encode_aa(s) for _, s in genes]
+    _GENE_DB_CACHE.clear()
+    _GENE_DB_CACHE[key] = (mtime, names, codes)
+    return names, codes
+
+
 def find_start_gene(sequence, start_genes_fasta, identity_threshold,
                     coverage_threshold, blast_dir=None, makeblastdb_path=None,
                     tblastn_path=None):
@@ -76,14 +96,16 @@ def find_start_gene(sequence, start_genes_fasta, identity_threshold,
     (semantics of ref blast_func.py:27-98: the sequence start is
     duplicated to handle genes spanning the origin, and the replicon is
     rotated to the position where the gene's first residue aligns).
-    Scoring is a real BLOSUM62 translated search."""
-    from .protein_search import encode_aa, search_protein
+    Scoring is a real BLOSUM62 translated search, batched over the
+    whole database in one indexed pass (protein_search.py
+    search_gene_database — the tblastn-call shape)."""
+    from .protein_search import encode_aa, search_gene_database
     seq_len = len(sequence)
     dup_length = min(seq_len, 10000)
     queryable = sequence + sequence[:dup_length]
 
-    genes = load_fasta(start_genes_fasta)
-    if not genes:
+    gene_names, gene_codes = _load_gene_db(start_genes_fasta)
+    if not gene_names:
         raise CannotFindStart
 
     frames = []   # (frame_offset, is_reverse, protein string)
@@ -93,27 +115,15 @@ def find_start_gene(sequence, start_genes_fasta, identity_threshold,
         frames.append((offset, True, translate(rc[offset:])))
     frame_codes = [encode_aa(p) for _, _, p in frames]
 
-    best = None
-    for gene_name, gene_seq in genes:
-        g_codes = encode_aa(gene_seq)
-        if not len(g_codes):
-            continue
-        for f_idx, f_codes in enumerate(frame_codes):
-            if not len(f_codes):
-                continue
-            hit = search_protein(g_codes, f_codes)
-            if hit is None:
-                continue
-            if hit.identity < identity_threshold \
-                    or hit.coverage < coverage_threshold:
-                continue
-            if best is None or hit.score > best[0].score:
-                best = (hit, gene_name, f_idx)
-
+    best = search_gene_database(
+        gene_codes, frame_codes,
+        identity_threshold=identity_threshold,
+        coverage_threshold=coverage_threshold)
     if best is None:
         raise CannotFindStart
 
-    hit, gene_name, f_idx = best
+    hit, g_idx, f_idx = best
+    gene_name = gene_names[g_idx]
     frame_offset, is_reverse, _ = frames[f_idx]
     nuc_pos = frame_offset + 3 * hit.window_start  # in queryable/rc coords
     if not is_reverse:
