@@ -15,6 +15,7 @@ number.
 """
 
 import json
+import sys
 import time
 
 
@@ -23,6 +24,29 @@ REFERENCE_COMBINED_READS_PER_SEC = 4.09
 FIXTURES = ['test_semi_global_alignment_tough',
             'test_semi_global_alignment_contained_reads']
 FIXTURE_DIR = '/root/reference/test/'
+
+# Hardware parity gate (VERDICT r3 ask #5): per-read floors for the
+# level-0 batched run, asserted on the warm-up iteration BEFORE any
+# timing. Raw scores are re-tallied from the CIGAR against the real
+# sequences (align/alignment.py _tally_up), so a floor violation
+# catches traceback corruption as well as scoring regressions. Floors
+# are the reference's own fixture minima
+# (ref test/test_semi_global_alignment.py:230-660) where defined, else
+# the pinned batched result measured on the real chip (2026-08-20).
+# Format: read name -> (n_alignments, min best raw score).
+PARITY = {
+    'test_semi_global_alignment_tough': {
+        '0': (1, 126074), '1': (2, 34449), '2': (2, 34439),
+        '3': (1, 786), '4': (1, 58531), '5': (1, 10883),
+        '6': (1, 10883), '7': (1, 125555), '8': (1, 2812),
+        '9': (1, 10005), '10': (1, 4978), '11': (1, 6996),
+        '12': (1, 6996), '13': (1, 101608), '14': (1, 204),
+        '15': (2, 3137),
+    },
+    'test_semi_global_alignment_contained_reads': {
+        '0': (1, 1418), '1': (1, 16608), '2': (1, 122681),
+    },
+}
 
 
 def load_workload():
@@ -33,18 +57,43 @@ def load_workload():
                                section_header=None, show_progress=False)
         reads, names, _ = load_long_reads(FIXTURE_DIR + fixture + '.fastq',
                                           silent=True)
-        workload.append((refs, [reads[n] for n in names]))
+        workload.append((fixture, refs, [reads[n] for n in names]))
     return workload
 
 
 def run_once(workload, scoring):
     from unicycler_tpu.align.semi_global import align_reads_to_refs
     total_reads = 0
-    for refs, reads in workload:
+    for _, refs, reads in workload:
         align_reads_to_refs(reads, refs, scoring, sensitivity_level=0,
                             low_score_threshold=70.86, min_align_length=10)
         total_reads += len(reads)
     return total_reads
+
+
+def check_parity(workload):
+    """Assert the warm-up run's per-read alignment counts and raw-score
+    floors. Any failure prints the violations and exits non-zero, so a
+    kernel regression makes the BENCH artifact rc != 0."""
+    failures = []
+    for fixture, _, reads in workload:
+        expected = PARITY[fixture]
+        for read in reads:
+            want_n, want_score = expected[read.name]
+            n = len(read.alignments)
+            best = max((a.raw_score for a in read.alignments), default=0)
+            if n != want_n or best < want_score:
+                failures.append('%s read %s: got %d alignments best %d, '
+                                'want %d alignments best >= %d'
+                                % (fixture, read.name, n, best,
+                                   want_n, want_score))
+    if failures:
+        print('PARITY FAIL (%d):\n  %s'
+              % (len(failures), '\n  '.join(failures)))
+        sys.exit(1)
+    n_reads = sum(len(v) for v in PARITY.values())
+    print('parity: %d/%d fixture reads pass score+CIGAR floors' %
+          (n_reads, n_reads))
 
 
 def main():
@@ -53,6 +102,7 @@ def main():
     workload = load_workload()
 
     run_once(workload, scoring)          # warm-up: compile kernels
+    check_parity(workload)               # hardware parity gate (untimed)
     # 5 steady-state iterations. The HEADLINE value is the MEDIAN (an
     # honest steady-state estimate, robust to one bad-network
     # iteration); the max is reported alongside because through the
