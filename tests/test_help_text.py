@@ -42,3 +42,12 @@ def test_extended_help():
     assert TITLE in stdout
     for opt in BASIC + EXTENDED:
         assert opt in stdout, opt
+
+
+def test_reference_defaults_preset():
+    """--reference_defaults restores reference-equivalent behaviour
+    (currently: single-round bridging; README 'Defaults that differ')."""
+    from unicycler_tpu.pipeline.main import get_arguments
+    base = ['-1', 'r1.fq', '-2', 'r2.fq', '-o', 'out']
+    assert get_arguments(base).bridge_rounds == 2
+    assert get_arguments(base + ['--reference_defaults']).bridge_rounds == 1

@@ -109,6 +109,13 @@ def get_arguments(args=None):
                                 'same reads can span junctions the first '
                                 'round\'s short anchors could not reach '
                                 '(1 = reference-equivalent single round)'))
+    other.add_argument('--reference_defaults', action='store_true',
+                       help=ext('Run with reference-equivalent defaults: '
+                                'overrides every default that diverges '
+                                'from the reference pipeline (currently '
+                                '--bridge_rounds 1; see README '
+                                '"Defaults that differ from the '
+                                'reference")'))
 
     spades = parser.add_argument_group('SPAdes-compatible assembly options')
     spades.add_argument('--spades_path', default='spades.py',
@@ -221,6 +228,11 @@ def get_arguments(args=None):
         val = getattr(parsed, attr, None)
         if val is not None:
             setattr(parsed, attr, os.path.abspath(val))
+    if parsed.reference_defaults:
+        # one switch restores the reference's behaviour wherever this
+        # build's defaults intentionally diverge (ref unicycler.py
+        # bridges exactly once)
+        parsed.bridge_rounds = 1
     parsed.mode = {'conservative': 0, 'normal': 1, 'bold': 2}[parsed.mode]
     if parsed.min_bridge_qual is None:
         parsed.min_bridge_qual = [settings.CONSERVATIVE_MIN_BRIDGE_QUAL,
