@@ -201,203 +201,185 @@ def _select_winner_tasks(tasks, prelim):
     return sorted(winners)
 
 
-def align_reads_to_refs(reads, references, scoring_scheme,
-                        sensitivity_level=0, keep_bad=False,
-                        low_score_threshold=None,
-                        min_align_length=settings.MIN_LONG_READ_ALIGNMENT_LENGTH,
-                        allowed_overlap=0, debug_dir=None):
-    """Core batched aligner: fills read.alignments for every read.
+class AlignJob(object):
+    """One (reads, references) alignment request for align_jobs.
 
-    Tries every sensitivity level 0..sensitivity_level, accumulating
-    redundant alignments and filtering afterwards, exactly like the
-    reference's escalation loop (ref unicycler_align.py:390-403)."""
-    ref_codes = [r.codes for r in references]
-    for read in reads:
-        read.alignments = []
+    Carries the request arguments plus the in-flight dispatch state so
+    several jobs can share merged device sync points (see align_jobs)."""
 
+    def __init__(self, reads, references, scoring_scheme,
+                 sensitivity_level=0, keep_bad=False,
+                 low_score_threshold=None,
+                 min_align_length=settings.MIN_LONG_READ_ALIGNMENT_LENGTH,
+                 allowed_overlap=0, debug_dir=None):
+        self.reads = reads
+        self.references = references
+        self.scoring_scheme = scoring_scheme
+        self.scoring = scoring_scheme.to_ops()
+        self.sensitivity_level = sensitivity_level
+        self.keep_bad = keep_bad
+        self.low_score_threshold = low_score_threshold
+        self.min_align_length = min_align_length
+        self.allowed_overlap = allowed_overlap
+        self.debug_dir = debug_dir
+        self._levels = []       # [(band, [(chunk_tasks, handle), ...])]
+        self._refine = None     # (refine_alignments, handle)
+
+
+class _S(object):
+    __slots__ = ('score',)
+
+    def __init__(self, s):
+        self.score = s
+
+
+def _keep_winners_fn(htasks):
+    """Walk only per-read winning candidates plus singles: the same rule
+    the post-pass applies (_select_winner_tasks), computed from the
+    phase-1 score fetch so losing windows never pay traceback steps."""
+    def from_scores(raw_scores):
+        prelim = [None if s is None else _S(s) for s in raw_scores]
+        keep = set(_select_winner_tasks(htasks, prelim))
+        counts = {}
+        for t in htasks:
+            counts[id(t.read)] = counts.get(id(t.read), 0) + 1
+        keep |= {i for i, t in enumerate(htasks)
+                 if counts[id(t.read)] == 1}
+        return keep
+    return from_scores
+
+
+class _WalkState(object):
+    """Cross-job walk-start pipeline: every dispatched chunk (from any
+    job) lands here in order; walks start opportunistically as each
+    chunk's forwards finish, so a later job's host seeding hides the
+    score fetches of earlier jobs' chunks."""
+
+    def __init__(self):
+        self.handles = []       # (chunk_tasks, handle)
+        self.cursor = 0
+
+    def add(self, chunk_tasks, handle):
+        self.handles.append((chunk_tasks, handle))
+
+    def start_ready(self, block=False):
+        # Non-blocking by default (is_ready probe) so the host never
+        # stalls on a chunk the device hasn't reached yet; ONE merged
+        # score fetch for however many chunks are ready.
+        batch = []
+        while self.cursor < len(self.handles):
+            htasks, h = self.handles[self.cursor]
+            if not block and not h.forwards_ready():
+                break
+            batch.append((h, _keep_winners_fn(htasks)))
+            self.cursor += 1
+        if batch:
+            banded_ops.start_walks_many(batch)
+
+
+def _dispatch_job_device(job, walk_state):
+    """Seed + dispatch every sensitivity level of one job. Kernels queue
+    on the device asynchronously; nothing here blocks on device results,
+    so calling this for job N+1 overlaps its host seeding with job N's
+    device compute."""
     from ..utils import trace
-    scoring = scoring_scheme.to_ops()
-    for level in range(0, sensitivity_level + 1):
+    ref_codes = [r.codes for r in job.references]
+    for level in range(0, job.sensitivity_level + 1):
         k = settings.SEED_KMER_SIZES[level]
         band = settings.BAND_SIZES[level]
         with trace.span('seed_index'):
             index = mz.get_cached_index(ref_codes, k, 10)
-        use_device = banded_ops.has_device_traceback()
-        tasks: List[_Task] = []
-        if use_device:
-            # Pipeline host seeding with device compute: seed a chunk of
-            # reads, dispatch its alignment batch (async — kernels queue
-            # on the device), then seed the next chunk while the device
-            # works. Collection happens after the last dispatch, so the
-            # host's seeding cost hides under device time.
-            max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
-            live_reads = [r for r in reads
-                          if r.get_length() >= min_align_length]
-            # Pipelined seeding: buffer seeded tasks and dispatch a tape
-            # batch as soon as ~one launch worth of DP rows accumulates,
-            # so host seeding of later reads hides under device compute
-            # of earlier ones. All handles are fetched in ONE merged
-            # transfer at the end (collect_many), so finer chunks do not
-            # add fetch round trips.
-            CHUNK_ROWS = 250_000
-            # Longest-first seeding groups the big reads into the same
-            # tape launches: a launch's serial length is its LONGEST
-            # task, so four 70 kb reads sharing one launch cost one
-            # 70k-row tape instead of pinning four separate ones.
-            live_reads.sort(key=lambda r: -r.get_length())
-            handles = []
-            chunk_tasks: List[_Task] = []
-            chunk_rows = 0
+        max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
+        live_reads = [r for r in job.reads
+                      if r.get_length() >= job.min_align_length]
+        # Pipelined seeding: buffer seeded tasks and dispatch a tape
+        # batch as soon as ~one launch worth of DP rows accumulates, so
+        # host seeding of later reads hides under device compute of
+        # earlier ones. All handles are fetched in ONE merged transfer
+        # across ALL jobs (align_jobs), so finer chunks do not add
+        # fetch round trips. Longest-first seeding groups the big reads
+        # into the same tape launches: a launch's serial length is its
+        # LONGEST task, so four 70 kb reads sharing one launch cost one
+        # 70k-row tape instead of pinning four separate ones.
+        CHUNK_ROWS = 250_000
+        live_reads.sort(key=lambda r: -r.get_length())
+        level_chunks = []
+        chunk_tasks: List[_Task] = []
+        chunk_rows = 0
 
-            class _S(object):
-                __slots__ = ('score',)
+        def flush_chunk():
+            with trace.span('dispatch'):
+                h = banded_ops.align_banded_async(
+                    [t.banded for t in chunk_tasks], job.scoring,
+                    config=pw.SEMI_GLOBAL, band=band,
+                    need_cigar=True, two_phase=True)
+                level_chunks.append((chunk_tasks[:], h))
+                walk_state.add(chunk_tasks[:], h)
+                if len(walk_state.handles) >= 2:
+                    walk_state.start_ready()
+            del chunk_tasks[:]
 
-                def __init__(self, s):
-                    self.score = s
-
-            def keep_winners(htasks):
-                """Walk only per-read winning candidates plus singles:
-                the same rule the post-pass applies
-                (_select_winner_tasks), computed from the phase-1 score
-                fetch so losing windows never pay traceback steps."""
-                def from_scores(raw_scores):
-                    prelim = [None if s is None else _S(s)
-                              for s in raw_scores]
-                    keep = set(_select_winner_tasks(htasks, prelim))
-                    counts = {}
-                    for t in htasks:
-                        counts[id(t.read)] = counts.get(id(t.read), 0) + 1
-                    keep |= {i for i, t in enumerate(htasks)
-                             if counts[id(t.read)] == 1}
-                    return keep
-                return from_scores
-
-            walk_cursor = [0]    # handles whose walks started, in order
-
-            def start_ready_walks(block=False):
-                # Opportunistic phase-2 starts: fetch finished chunks'
-                # scores (ONE merged transfer for all of them) and queue
-                # their winner walks. Non-blocking by default (is_ready
-                # probe) so the host never stalls on a chunk the device
-                # hasn't reached yet.
-                batch = []
-                while walk_cursor[0] < len(handles):
-                    htasks, h = handles[walk_cursor[0]]
-                    if not block and not h.forwards_ready():
-                        break
-                    batch.append((h, keep_winners(htasks)))
-                    walk_cursor[0] += 1
-                if batch:
-                    banded_ops.start_walks_many(batch)
-
-            def flush_chunk():
-                with trace.span('dispatch'):
-                    handles.append((chunk_tasks[:],
-                                    banded_ops.align_banded_async(
-                        [t.banded for t in chunk_tasks], scoring,
-                        config=pw.SEMI_GLOBAL, band=band,
-                        need_cigar=True, two_phase=True)))
-                    if len(handles) >= 2:
-                        start_ready_walks()
-                del chunk_tasks[:]
-
-            for read in live_reads:
-                with trace.span('seed_and_tasks'):
-                    clusters = index.lookup(read.codes)
-                    if debug_dir is not None:
-                        _dump_seed_debug(debug_dir, read, level, clusters)
-                    new_tasks = _make_tasks(
-                        read, references, clusters[:max_traces], band)
-                chunk_tasks.extend(new_tasks)
-                chunk_rows += sum(len(t.banded.q) for t in new_tasks)
-                if chunk_rows >= CHUNK_ROWS:
-                    flush_chunk()
-                    chunk_rows = 0
-                elif len(handles) > walk_cursor[0]:
-                    start_ready_walks()
-            if chunk_tasks:
-                flush_chunk()
-            results = []
-            with trace.span('traceback_pass'):
-                # remaining chunks' walks start here (blocking); earlier
-                # chunks were pipelined opportunistically in flush_chunk
-                start_ready_walks(block=True)
-                all_res = banded_ops.collect_many([h for _, h in handles])
-                for (chunk_tasks, _), res in zip(handles, all_res):
-                    tasks.extend(chunk_tasks)
-                    results.extend(res)
-        else:
+        for read in live_reads:
             with trace.span('seed_and_tasks'):
-                for read in reads:
-                    if read.get_length() < min_align_length:
-                        continue
-                    clusters = index.lookup(read.codes)
-                    if debug_dir is not None:
-                        _dump_seed_debug(debug_dir, read, level, clusters)
-                    max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
-                    tasks.extend(_make_tasks(read, references,
-                                             clusters[:max_traces], band))
-        if not tasks:
+                clusters = index.lookup(read.codes)
+                if job.debug_dir is not None:
+                    _dump_seed_debug(job.debug_dir, read, level, clusters)
+                new_tasks = _make_tasks(
+                    read, job.references, clusters[:max_traces], band)
+            chunk_tasks.extend(new_tasks)
+            chunk_rows += sum(len(t.banded.q) for t in new_tasks)
+            if chunk_rows >= CHUNK_ROWS:
+                flush_chunk()
+                chunk_rows = 0
+            elif len(walk_state.handles) > walk_state.cursor:
+                walk_state.start_ready()
+        if chunk_tasks:
+            flush_chunk()
+        job._levels.append((level, band, level_chunks))
+
+
+def _decode_job_level(job, band, tasks, results):
+    """Winner filtering + Alignment construction for one level's
+    collected results (device path: losers already skipped their walks,
+    this drops them from the alignment list too)."""
+    if not tasks:
+        return
+    task_counts = {}
+    for t in tasks:
+        task_counts[id(t.read)] = task_counts.get(id(t.read), 0) + 1
+    # Single full pass: with the on-device traceback the per-task result
+    # is ~2 bytes/row, so aligning every candidate WITH its CIGAR is
+    # cheaper than a score-only prefilter + rerun. Losers are filtered
+    # here.
+    keep = set(_select_winner_tasks(tasks, results))
+    keep |= {i for i, t in enumerate(tasks)
+             if task_counts[id(t.read)] == 1}
+    for i, (task, pa) in enumerate(zip(tasks, results)):
+        if i not in keep or pa.s1_end <= pa.s1_start:
             continue
-        task_counts = {}
-        for t in tasks:
-            task_counts[id(t.read)] = task_counts.get(id(t.read), 0) + 1
-        if use_device:
-            # Single full pass: with the on-device traceback the
-            # per-task result is ~2 bytes/row, so aligning every
-            # candidate WITH its CIGAR is cheaper than a score-only
-            # prefilter + rerun (an extra dispatch/fetch round trip and
-            # the winners' DP twice). Losers are filtered afterwards.
-            keep = set(_select_winner_tasks(tasks, results))
-            keep |= {i for i, t in enumerate(tasks)
-                     if task_counts[id(t.read)] == 1}
-            tasks = [t for i, t in enumerate(tasks) if i in keep]
-            results = [r for i, r in enumerate(results) if i in keep]
-        else:
-            # CPU/XLA path: move matrices are materialised per
-            # candidate, so a score-only prefilter pass still pays.
-            single = [t for t in tasks if task_counts[id(t.read)] == 1]
-            multi = [t for t in tasks if task_counts[id(t.read)] > 1]
-            if multi:
-                with trace.span('score_pass'):
-                    prelim = banded_ops.align_banded(
-                        [t.banded for t in multi], scoring,
-                        config=pw.SEMI_GLOBAL, band=band,
-                        need_cigar=False)
-                winners = _select_winner_tasks(multi, prelim)
-                multi = [multi[i] for i in winners]
-            tasks = single + multi
-            with trace.span('traceback_pass'):
-                results = banded_ops.align_banded(
-                    [t.banded for t in tasks], scoring,
-                    config=pw.SEMI_GLOBAL, band=band, need_cigar=True)
-        for task, pa in zip(tasks, results):
-            if pa.s1_end <= pa.s1_start:
-                continue
-            alignment = Alignment(read=task.read, ref=task.ref,
-                                  scoring_scheme=scoring_scheme,
-                                  pair_alignment=pa, rev_comp=task.rev_comp,
-                                  ref_offset=task.window_start)
-            alignment._pair = pa
-            alignment._task = task
-            task.read.alignments.append(alignment)
+        alignment = Alignment(read=task.read, ref=task.ref,
+                              scoring_scheme=job.scoring_scheme,
+                              pair_alignment=pa, rev_comp=task.rev_comp,
+                              ref_offset=task.window_start)
+        alignment._pair = pa
+        alignment._task = task
+        task.read.alignments.append(alignment)
 
-    for read in reads:
-        read.remove_conflicting_alignments(allowed_overlap)
 
-    # Corridor refinement, applied only to surviving alignments whose
-    # traced path came within REFINE_MARGIN lanes of the band edge:
-    # re-center the band on the found path and realign, keeping the
-    # better result (the analog of the reference's repeated line tracing,
-    # semi_global_align.cpp:229). Paths well inside the corridor cannot
-    # improve from re-centering at the same width — the first pass
-    # already runs at the full refine-grade band — so the refine pass is
-    # empty for most calls (one fewer dispatch/fetch round trip).
-    band = settings.BAND_SIZES[min(sensitivity_level,
+def _build_refine(job):
+    """Corridor refinement candidates: surviving alignments whose traced
+    path came within REFINE_MARGIN lanes of the band edge get the band
+    re-centered on the found path and realigned, keeping the better
+    result (the analog of the reference's repeated line tracing,
+    semi_global_align.cpp:229). Paths well inside the corridor cannot
+    improve from re-centering at the same width — the first pass already
+    runs at the full refine-grade band — so the refine pass is empty for
+    most calls. Returns (refine_alignments, refine_tasks, band)."""
+    band = settings.BAND_SIZES[min(job.sensitivity_level,
                                    len(settings.BAND_SIZES) - 1)]
     pass_W = banded_ops.band_width(band)
     refine_alignments = []
-    for read in reads:
+    for read in job.reads:
         for alignment in read.alignments:
             pa = getattr(alignment, '_pair', None)
             if pa is None or pa.score <= 0 or not pa.cigar:
@@ -410,39 +392,193 @@ def align_reads_to_refs(reads, references, scoring_scheme,
                     >= settings.REFINE_MARGIN:
                 continue            # path never approached the band edge
             refine_alignments.append(alignment)
-    if refine_alignments:
-        refine_tasks = []
-        for alignment in refine_alignments:
-            pa = alignment._pair
+    refine_tasks = []
+    for alignment in refine_alignments:
+        pa = alignment._pair
+        task = alignment._task
+        a_read, a_ref = banded_ops.alignment_path_anchors(pa)
+        refine_tasks.append(banded_ops.BandedTask(
+            q=task.banded.q, r=task.banded.r,
+            corridor_read=a_read, corridor_ref=a_ref))
+    refine_band = max(settings.REFINE_BAND, band)
+    return refine_alignments, refine_tasks, refine_band
+
+
+def _apply_refined(job, refine_alignments, refined):
+    for alignment, pa2 in zip(refine_alignments, refined):
+        if pa2.score > alignment._pair.score:
             task = alignment._task
-            a_read, a_ref = banded_ops.alignment_path_anchors(pa)
-            refine_tasks.append(banded_ops.BandedTask(
-                q=task.banded.q, r=task.banded.r,
-                corridor_read=a_read, corridor_ref=a_ref))
-        band = max(settings.REFINE_BAND,
-                   settings.BAND_SIZES[min(sensitivity_level,
-                                           len(settings.BAND_SIZES) - 1)])
+            better = Alignment(read=task.read, ref=task.ref,
+                               scoring_scheme=job.scoring_scheme,
+                               pair_alignment=pa2,
+                               rev_comp=task.rev_comp,
+                               ref_offset=task.window_start)
+            better._pair = pa2
+            better._task = task
+            read_alignments = task.read.alignments
+            read_alignments[read_alignments.index(alignment)] = better
+
+
+def _final_filters(job):
+    for read in job.reads:
+        if not job.keep_bad and job.low_score_threshold is not None:
+            read.remove_low_score_alignments(job.low_score_threshold)
+        read.remove_short_alignments(job.min_align_length)
+
+
+def align_jobs(jobs):
+    """Run several alignment jobs with MERGED device sync points.
+
+    Per-iteration tunnel exposure is the bench bottleneck (PERF.md): a
+    lone align_reads_to_refs call pays 3 blocking fetches (phase-1
+    scores, phase-2 records, refine). Running N jobs through this driver
+    still pays ~3 TOTAL: every job's chunks dispatch first (job N+1's
+    host seeding overlaps job N's device compute), then ONE merged
+    record fetch across all jobs, then every job's refine pass
+    dispatches before ONE merged refine fetch."""
+    from ..utils import trace
+    jobs = [j for j in jobs if j.reads]
+    for job in jobs:
+        for read in job.reads:
+            read.alignments = []
+    if not banded_ops.has_device_traceback():
+        for job in jobs:
+            _align_job_host(job)
+        return
+
+    # Phase A: dispatch everything (host seeding of later jobs overlaps
+    # earlier jobs' device compute; walks start as forwards finish).
+    walk_state = _WalkState()
+    for job in jobs:
+        _dispatch_job_device(job, walk_state)
+
+    # Phase B: one merged record fetch across every job's chunks.
+    with trace.span('traceback_pass'):
+        walk_state.start_ready(block=True)
+        flat = [(job, level, chunk_tasks, h)
+                for job in jobs
+                for level, band, level_chunks in job._levels
+                for chunk_tasks, h in level_chunks]
+        all_res = banded_ops.collect_many([h for _, _, _, h in flat])
+
+    # Phase C: per-job decode + conflict filter + refine dispatch. Job
+    # N's refine kernels run on device while job N+1 decodes on host.
+    by_job = {}
+    for (job, level, chunk_tasks, _h), res in zip(flat, all_res):
+        t_acc, r_acc = by_job.setdefault(id(job), {}).setdefault(
+            level, ([], []))
+        t_acc.extend(chunk_tasks)
+        r_acc.extend(res)
+    refine_pend = []
+    for job in jobs:
+        for level, band, level_chunks in job._levels:
+            t_acc, r_acc = by_job.get(id(job), {}).get(level, ([], []))
+            _decode_job_level(job, band, t_acc, r_acc)
+        for read in job.reads:
+            read.remove_conflicting_alignments(job.allowed_overlap)
+        refine_alignments, refine_tasks, refine_band = _build_refine(job)
+        if refine_tasks:
+            with trace.span('refine_dispatch'):
+                h = banded_ops.align_banded_async(
+                    refine_tasks, job.scoring, config=pw.SEMI_GLOBAL,
+                    band=refine_band, need_cigar=True)
+            refine_pend.append((job, refine_alignments, h))
+
+    # Phase D: one merged refine fetch, then final filters.
+    if refine_pend:
+        with trace.span('refine_pass'):
+            refined_all = banded_ops.collect_many(
+                [h for _, _, h in refine_pend])
+        for (job, refine_alignments, _h), refined in zip(refine_pend,
+                                                         refined_all):
+            _apply_refined(job, refine_alignments, refined)
+    for job in jobs:
+        _final_filters(job)
+
+
+def _align_job_host(job):
+    """CPU/XLA fallback: move matrices are materialised per candidate,
+    so a score-only prefilter pass still pays; everything is synchronous
+    (no tunnel to hide)."""
+    from ..utils import trace
+    ref_codes = [r.codes for r in job.references]
+    for level in range(0, job.sensitivity_level + 1):
+        k = settings.SEED_KMER_SIZES[level]
+        band = settings.BAND_SIZES[level]
+        with trace.span('seed_index'):
+            index = mz.get_cached_index(ref_codes, k, 10)
+        tasks: List[_Task] = []
+        with trace.span('seed_and_tasks'):
+            for read in job.reads:
+                if read.get_length() < job.min_align_length:
+                    continue
+                clusters = index.lookup(read.codes)
+                if job.debug_dir is not None:
+                    _dump_seed_debug(job.debug_dir, read, level, clusters)
+                max_traces = settings.MAX_LINE_TRACE_COUNTS[level]
+                tasks.extend(_make_tasks(read, job.references,
+                                         clusters[:max_traces], band))
+        if not tasks:
+            continue
+        task_counts = {}
+        for t in tasks:
+            task_counts[id(t.read)] = task_counts.get(id(t.read), 0) + 1
+        single = [t for t in tasks if task_counts[id(t.read)] == 1]
+        multi = [t for t in tasks if task_counts[id(t.read)] > 1]
+        if multi:
+            with trace.span('score_pass'):
+                prelim = banded_ops.align_banded(
+                    [t.banded for t in multi], job.scoring,
+                    config=pw.SEMI_GLOBAL, band=band,
+                    need_cigar=False)
+            winners = _select_winner_tasks(multi, prelim)
+            multi = [multi[i] for i in winners]
+        tasks = single + multi
+        with trace.span('traceback_pass'):
+            results = banded_ops.align_banded(
+                [t.banded for t in tasks], job.scoring,
+                config=pw.SEMI_GLOBAL, band=band, need_cigar=True)
+        for task, pa in zip(tasks, results):
+            if pa.s1_end <= pa.s1_start:
+                continue
+            alignment = Alignment(read=task.read, ref=task.ref,
+                                  scoring_scheme=job.scoring_scheme,
+                                  pair_alignment=pa, rev_comp=task.rev_comp,
+                                  ref_offset=task.window_start)
+            alignment._pair = pa
+            alignment._task = task
+            task.read.alignments.append(alignment)
+
+    for read in job.reads:
+        read.remove_conflicting_alignments(job.allowed_overlap)
+    refine_alignments, refine_tasks, refine_band = _build_refine(job)
+    if refine_tasks:
         with trace.span('refine_pass'):
             refined = banded_ops.align_banded(
-                refine_tasks, scoring, config=pw.SEMI_GLOBAL, band=band,
-                need_cigar=True)
-        for alignment, pa2 in zip(refine_alignments, refined):
-            if pa2.score > alignment._pair.score:
-                task = alignment._task
-                better = Alignment(read=task.read, ref=task.ref,
-                                   scoring_scheme=scoring_scheme,
-                                   pair_alignment=pa2,
-                                   rev_comp=task.rev_comp,
-                                   ref_offset=task.window_start)
-                better._pair = pa2
-                better._task = task
-                read_alignments = task.read.alignments
-                read_alignments[read_alignments.index(alignment)] = better
+                refine_tasks, job.scoring, config=pw.SEMI_GLOBAL,
+                band=refine_band, need_cigar=True)
+        _apply_refined(job, refine_alignments, refined)
+    _final_filters(job)
 
-    for read in reads:
-        if not keep_bad and low_score_threshold is not None:
-            read.remove_low_score_alignments(low_score_threshold)
-        read.remove_short_alignments(min_align_length)
+
+def align_reads_to_refs(reads, references, scoring_scheme,
+                        sensitivity_level=0, keep_bad=False,
+                        low_score_threshold=None,
+                        min_align_length=settings.MIN_LONG_READ_ALIGNMENT_LENGTH,
+                        allowed_overlap=0, debug_dir=None):
+    """Core batched aligner: fills read.alignments for every read.
+
+    Tries every sensitivity level 0..sensitivity_level, accumulating
+    redundant alignments and filtering afterwards, exactly like the
+    reference's escalation loop (ref unicycler_align.py:390-403).
+    One-job wrapper over align_jobs."""
+    align_jobs([AlignJob(reads, references, scoring_scheme,
+                         sensitivity_level=sensitivity_level,
+                         keep_bad=keep_bad,
+                         low_score_threshold=low_score_threshold,
+                         min_align_length=min_align_length,
+                         allowed_overlap=allowed_overlap,
+                         debug_dir=debug_dir)])
 
 
 def semi_global_align_long_reads(references, ref_fasta, read_dict, read_names,
