@@ -104,3 +104,55 @@ class TestPairedEndResolution:
                    if any(abs(x) == rep_num for x in p[1:-1])]
         assert through, (paths, rep_num,
                          [len(s) for s, _ in unitigs])
+
+
+class TestRepeatSplitting:
+    def _assemble(self, genome, k=63):
+        pairs_1, pairs_2 = make_fake_short_reads(genome)
+        p1 = [encode_sequence(seq) for _, seq, _ in pairs_1]
+        p2 = [encode_sequence(seq) for _, seq, _ in pairs_2]
+        unitigs, links = debruijn.assemble_short_reads(p1 + p2, k)
+        mean, dev = debruijn.estimate_insert_size(p1, p2, unitigs, k)
+        return unitigs, links, p1, p2, mean, dev
+
+    def test_two_copy_repeat_splits(self):
+        """A 100 bp repeat with two distinct (in, out) contexts on a
+        linear genome must split into two copies wired per the
+        insert-consistent pairing, leaving a branchless graph."""
+        repeat = rand_genome(100, 21)
+        a = rand_genome(2500, 22)
+        b = rand_genome(1800, 23)
+        c = rand_genome(2100, 24)
+        # linear: a R b R c (contexts: a->R->b and b->R->c)
+        genome = a + repeat + b + repeat + c
+        k = 63
+        pairs_1, pairs_2 = make_fake_short_reads(genome, circular=False) \
+            if 'circular' in make_fake_short_reads.__code__.co_varnames \
+            else make_fake_short_reads(genome)
+        p1 = [encode_sequence(seq) for _, seq, _ in pairs_1]
+        p2 = [encode_sequence(seq) for _, seq, _ in pairs_2]
+        unitigs, links = debruijn.assemble_short_reads(p1 + p2, k)
+        mean, dev = debruijn.estimate_insert_size(p1, p2, unitigs, k)
+        n_before = len(unitigs)
+        unitigs2, links2, n_split = debruijn.split_repeats_with_pairs(
+            unitigs, links, p1, p2, k, mean, dev)
+        assert n_split >= 1, (n_before, len(unitigs2))
+        # after splitting, every junction is linear: each oriented
+        # unitig end has at most one continuation
+        from collections import defaultdict
+        fwd = defaultdict(list)
+        for x, y in links2:
+            fwd[x].append(y)
+        assert all(len(v) == 1 for v in fwd.values()), dict(fwd)
+
+    def test_unsupported_repeat_stays(self):
+        """With only one context (no ambiguity) nothing splits, and a
+        repeat longer than the insert reach collects no votes."""
+        repeat = rand_genome(700, 31)         # longer than insert ~300
+        a = rand_genome(2500, 32)
+        b = rand_genome(1800, 33)
+        genome = a + repeat + b + repeat
+        unitigs, links, p1, p2, mean, dev = self._assemble(genome)
+        _, _, n_split = debruijn.split_repeats_with_pairs(
+            unitigs, links, p1, p2, 63, mean, dev)
+        assert n_split == 0

@@ -327,6 +327,109 @@ def assemble_short_reads(read_code_arrays, k, min_count=2, carried=None):
     return unitigs, links
 
 
+def make_carry(strategy, unitigs, links, k_prev, k_next):
+    """Carry-strategy dispatch (scripts/carry_lab.py experiments):
+    S0 = interior-only, >=2k unitigs (rounds 1-3 behaviour);
+    S2 = all interiors + unrestricted junction windows;
+    S1 = >=2k interiors + junction windows over TRUSTED paths only."""
+    if strategy == 'S0':
+        return [(encode_sequence(seq), c) for seq, c in unitigs
+                if len(seq) >= 2 * k_prev]
+    if strategy == 'S2':
+        return build_carry_material(unitigs, links, k_prev, k_next)
+    if strategy == 'S1':
+        return build_carry_material(unitigs, links, k_prev, k_next,
+                                    interior_min_len=2 * k_prev,
+                                    trusted_only=True)
+    raise ValueError(strategy)
+
+
+def build_carry_material(unitigs, links, k_prev, k_next,
+                         max_windows=120000, per_start_cap=64,
+                         interior_min_len=0, trusted_only=False):
+    """Carry for the NEXT (larger) k in the iterative-k scheme: unitig
+    interiors PLUS junction-spanning windows.
+
+    Carrying unitigs alone (rounds 1-3) leaves every junction of the
+    previous graph uncovered at the new k: the (k_next)-mers that span a
+    junction exist only in reads, and at k_next near the read length a
+    specific spanning k-mer is expected in only ~2 reads — under the
+    solidity threshold half the time. Measured on sample_data, that shattered
+    the k=119 graph into 229 dead ends while k=93 (whose junctions reads
+    still cover) won with 293 contigs. The fix is SPAdes-shaped: for
+    every oriented link chain of the previous graph, emit a window of
+    the path sequence — the previous unitig's last (k_next-1) bases plus
+    (k_next-1) bases of path extension (crossing unitigs shorter than
+    k_next entirely) — so every previous junction, and every repeat
+    shorter than k_next, is spanned by carried k-mers at the previous
+    depth. Windows carry min-depth along their path.
+    """
+    o = k_prev - 1
+    span = k_next - 1
+    seqs = {}
+    depth = {}
+    for idx, (seq, cnt) in enumerate(unitigs):
+        seqs[idx + 1] = seq
+        seqs[-(idx + 1)] = reverse_complement(seq)
+        depth[idx + 1] = cnt
+
+    # Trust gate: error unitigs surviving the k_prev cleaning are short
+    # AND shallow; a window through one would carry the error forward
+    # forever (carried k-mers are exempt from the solidity threshold, so
+    # junk compounds across the k ladder — measured: unrestricted
+    # windows ballooned sample_data k=119 from 293 to 3776 contigs).
+    # Trusted = long enough to be interior-carried anyway, or at least a
+    # quarter of the long-unitig median depth.
+    if trusted_only:
+        long_depths = [cnt for seq, cnt in unitigs if len(seq) >= 1000]
+        floor = 0.25 * (sorted(long_depths)[len(long_depths) // 2]
+                        if long_depths else 0.0)
+        trusted = set()
+        for idx, (seq, cnt) in enumerate(unitigs):
+            if len(seq) >= 2 * k_prev or cnt >= floor:
+                trusted.add(idx + 1)
+    else:
+        trusted = None
+
+    fwd = defaultdict(list)
+    for a, b in links:
+        if trusted is None or (abs(a) in trusted and abs(b) in trusted):
+            fwd[a].append(b)
+
+    out = [(encode_sequence(seq), cnt) for seq, cnt in unitigs
+           if len(seq) >= interior_min_len]
+    n_windows = 0
+    for a in sorted(fwd.keys()):
+        if n_windows >= max_windows:
+            break
+        tail = seqs[a][-span:]
+        # DFS over extension paths until span bases beyond `a`'s end
+        start_budget = per_start_cap
+        stack = [(a, tail, 0, depth[abs(a)])]
+        while stack and start_budget > 0 and n_windows < max_windows:
+            cur, acc, ext, dmin = stack.pop()
+            nxts = fwd.get(cur, [])
+            if not nxts:
+                if ext > 0:                 # partial window still spans
+                    out.append((encode_sequence(acc), dmin))
+                    n_windows += 1
+                    start_budget -= 1
+                continue
+            for b in nxts:
+                add = seqs[b][o:]
+                nd = min(dmin, depth[abs(b)])
+                if ext + len(add) >= span:
+                    out.append((encode_sequence(acc + add[:span - ext]),
+                                nd))
+                    n_windows += 1
+                    start_budget -= 1
+                    if start_budget <= 0 or n_windows >= max_windows:
+                        break
+                else:
+                    stack.append((b, acc + add, ext + len(add), nd))
+    return out
+
+
 def save_graph_gfa(unitigs, links, k, filename, paths=None):
     with open(filename, 'w') as gfa:
         for idx, (seq, count) in enumerate(unitigs):
@@ -345,6 +448,189 @@ def save_graph_gfa(unitigs, links, k, filename, paths=None):
                 ','.join([overlap_cigar] * (len(path) - 1))))
 
 
+def collect_pair_votes(unitigs, pairs_1, pairs_2, k, insert_mean,
+                       max_pairs=20000):
+    """Insert-implied gap votes between oriented unitigs from uniquely
+    placed read pairs: votes[(signed_a, signed_b)] = list of gap
+    estimates between the END of oriented `a` and the START of oriented
+    `b` (mate 1 forward on the fragment, mate 2 reverse). Shared by the
+    path resolver and the repeat splitter."""
+    from ..ops.minimizer import MinimizerIndex
+    votes = defaultdict(list)
+    if not pairs_1 or not pairs_2:
+        return votes
+    unitig_codes = [encode_sequence(seq) for seq, _ in unitigs]
+    lengths = [len(seq) for seq, _ in unitigs]
+    index = MinimizerIndex(unitig_codes, k=15, w=5)
+    step = max(1, len(pairs_1) // max_pairs)
+    sel_1 = pairs_1[::step]
+    sel_2 = pairs_2[::step]
+    h1_all = index.lookup_many(sel_1, min_hits=2)
+    h2_all = index.lookup_many(sel_2, min_hits=2)
+
+    def usable(hits):
+        # A mate near a junction legitimately hits BOTH flanking
+        # unitigs (the k-1 overlap), and junction-straddling pairs are
+        # exactly the informative ones — requiring a unique hit starved
+        # vote collection to 63 voting pairs out of 10k (measured on
+        # sample_data k=93). Use up to 3 solidly-anchored hits per mate;
+        # consumers' decisiveness margins + the gap-consistency window
+        # absorb the occasional wrong-copy hit.
+        if not hits:
+            return ()
+        ranked = sorted(hits, key=lambda x: -x.n_hits)[:3]
+        floor = max(4, ranked[0].n_hits // 4)
+        return [x for x in ranked if x.n_hits >= floor]
+
+    for c1, c2, h1, h2 in zip(sel_1, sel_2, h1_all, h2_all):
+        for a in usable(h1):
+            for b in usable(h2):
+                if a.ref_id == b.ref_id:
+                    continue
+                signed_a = (a.ref_id + 1) * (-1 if a.rev_comp else 1)
+                signed_b = (b.ref_id + 1) * (1 if b.rev_comp else -1)
+                # distance from mate-1's position to the oriented end of
+                # a, and from b's oriented start to mate-2's
+                # fragment-forward start
+                la, lb = lengths[a.ref_id], lengths[b.ref_id]
+                tail_a = (la - a.ref_start) if not a.rev_comp \
+                    else a.ref_end
+                head_b = b.ref_start if b.rev_comp else (lb - b.ref_end)
+                gap = insert_mean - tail_a - head_b \
+                    - (b.read_end - b.read_start)
+                votes[(signed_a, signed_b)].append(gap)
+                votes[(-signed_b, -signed_a)].append(gap)
+    return votes
+
+
+def split_repeats_with_pairs(unitigs, links, pairs_1, pairs_2, k,
+                             insert_mean=250.0, insert_dev=50.0,
+                             rounds=3):
+    """Paired-end REPEAT SPLITTING: duplicate collapsed repeat unitigs
+    whose in/out neighbours are decisively matched by insert-consistent
+    read pairs, so the graph itself simplifies (the graph-transformation
+    half of SPAdes' exSPAnder role; the P-line half is
+    resolve_paths_with_pairs).
+
+    For a unitig R with in-neighbours I (|I| >= 2) and out-neighbours O
+    (|O| = |I|), pairs spanning R vote for (i, o) combinations at gap
+    ~ len(R) - 2(k-1). When the votes form a decisive perfect matching
+    (every i prefers a distinct o by at least 2x, or is forced by
+    elimination after the decisive ones are fixed), R is split into |I|
+    copies — one per matched (i, o), each at depth/|I| — and rewired.
+    The downstream graph cleaning merges the now-linear chains.
+    Repeats longer than the insert reach simply collect no votes and
+    stay; no length heuristic is needed. Multiple rounds let chains of
+    adjacent repeats resolve one layer at a time (votes are recollected
+    each round because splitting renumbers)."""
+    total_split = 0
+    for _ in range(rounds):
+        votes = collect_pair_votes(unitigs, pairs_1, pairs_2, k,
+                                   insert_mean)
+        if not votes:
+            break
+        lengths = [len(seq) for seq, _ in unitigs]
+        fwd = defaultdict(list)
+        for a, b in links:
+            fwd[a].append(b)
+
+        def vote_count(i_sig, o_sig, want_gap):
+            n = 0.0
+            for gap in votes.get((i_sig, o_sig), ()):
+                if abs(gap - want_gap) <= 4 * insert_dev + 50:
+                    n += 1.0
+            return n
+
+        split_plan = []       # (repeat_num, [(i_sig, o_sig), ...])
+        used_neighbors = set()
+        for idx in range(len(unitigs)):
+            num = idx + 1
+            ins = sorted(-x for x in fwd.get(-num, []))
+            outs = sorted(fwd.get(num, []))
+            if len(ins) < 2 or len(ins) != len(outs):
+                continue
+            if num in [abs(x) for x in ins + outs]:
+                continue               # self-adjacent (tandem): skip
+            want_gap = lengths[idx] - 2.0 * (k - 1)
+            score = {}
+            for i_sig in ins:
+                for o_sig in outs:
+                    score[(i_sig, o_sig)] = vote_count(i_sig, o_sig,
+                                                       want_gap)
+            # decisive greedy matching + forced completion
+            pairs = []
+            rem_i, rem_o = list(ins), list(outs)
+            progress = True
+            while progress and rem_i:
+                progress = False
+                if len(rem_i) == 1:
+                    # forced by elimination (only when something real
+                    # anchored the rest of the matching)
+                    if pairs:
+                        pairs.append((rem_i[0], rem_o[0]))
+                        rem_i, rem_o = [], []
+                    break
+                best = None
+                for i_sig in rem_i:
+                    ranked = sorted(((score[(i_sig, o_sig)], o_sig)
+                                     for o_sig in rem_o), reverse=True)
+                    s1, o1 = ranked[0]
+                    s2 = ranked[1][0]
+                    if s1 >= 3 and s1 >= 2 * max(1.0, s2):
+                        if best is None or s1 > best[0]:
+                            best = (s1, i_sig, o1)
+                if best is not None:
+                    _, i_sig, o_sig = best
+                    pairs.append((i_sig, o_sig))
+                    rem_i.remove(i_sig)
+                    rem_o.remove(o_sig)
+                    progress = True
+            if rem_i or not pairs:
+                continue
+            # a neighbour may only take part in one split per round
+            # (its links are rewired); also skip if any matched
+            # neighbour is the repeat of another plan
+            nums_involved = {num} | {abs(x) for x, _ in pairs} \
+                | {abs(x) for _, x in pairs}
+            if nums_involved & used_neighbors:
+                continue
+            used_neighbors |= nums_involved
+            split_plan.append((num, pairs))
+
+        if not split_plan:
+            break
+        # apply: copy R per matched pair, rewire links
+        link_set = set(links)
+        for num, matched in split_plan:
+            idx = num - 1
+            seq, depth = unitigs[idx]
+            share = depth / len(matched)
+            copies = []
+            for i_sig, o_sig in matched:
+                # remove old links i->R, R->o (both orientations)
+                for va, vb in ((i_sig, num), (num, o_sig)):
+                    link_set.discard((va, vb))
+                    link_set.discard((-vb, -va))
+                copies.append((i_sig, o_sig))
+            # drop ALL links touching R (unmatched stray links too)
+            link_set = {l for l in link_set
+                        if abs(l[0]) != num and abs(l[1]) != num}
+            # first copy reuses R's slot, extras append
+            slot_nums = [num]
+            for _ in range(len(matched) - 1):
+                unitigs.append((seq, share))
+                slot_nums.append(len(unitigs))
+            unitigs[idx] = (seq, share)
+            for (i_sig, o_sig), new_num in zip(copies, slot_nums):
+                link_set.add((i_sig, new_num))
+                link_set.add((-new_num, -i_sig))
+                link_set.add((new_num, o_sig))
+                link_set.add((-o_sig, -new_num))
+        links = sorted(link_set)
+        total_split += len(split_plan)
+    return unitigs, links, total_split
+
+
 def resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
                              insert_mean=250.0, insert_dev=50.0,
                              max_pairs=20000):
@@ -359,40 +645,11 @@ def resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
     junction (not just at the last unitig, which at a repeat is shared
     between contexts) is what lets an anchor on one side of a short
     repeat choose the correct anchor on the other side."""
-    from ..ops.minimizer import MinimizerIndex
     if not pairs_1 or not pairs_2 or not links:
         return []
-    unitig_codes = [encode_sequence(seq) for seq, _ in unitigs]
     lengths = [len(seq) for seq, _ in unitigs]
-    index = MinimizerIndex(unitig_codes, k=15, w=5)
-
-    # votes[(signed_a, signed_b)] = list of gap estimates: the implied
-    # distance between the END of oriented unitig a and the START of
-    # oriented unitig b, from one read pair (mate 1 forward on the
-    # fragment, mate 2 reverse).
-    votes = defaultdict(list)
-    step = max(1, len(pairs_1) // max_pairs)
-    sel_1 = pairs_1[::step]
-    sel_2 = pairs_2[::step]
-    h1_all = index.lookup_many(sel_1, min_hits=2)
-    h2_all = index.lookup_many(sel_2, min_hits=2)
-    for c1, c2, h1, h2 in zip(sel_1, sel_2, h1_all, h2_all):
-        if len(h1) != 1 or len(h2) != 1:
-            continue
-        a, b = h1[0], h2[0]
-        if a.ref_id == b.ref_id:
-            continue
-        signed_a = (a.ref_id + 1) * (-1 if a.rev_comp else 1)
-        signed_b = (b.ref_id + 1) * (1 if b.rev_comp else -1)
-        # distance from mate-1's position to the oriented end of a, and
-        # from b's oriented start to mate-2's fragment-forward start
-        la, lb = lengths[a.ref_id], lengths[b.ref_id]
-        tail_a = (la - a.ref_start) if not a.rev_comp else a.ref_end
-        head_b = b.ref_start if b.rev_comp else (lb - b.ref_end)
-        gap = insert_mean - tail_a - head_b \
-            - (b.read_end - b.read_start)
-        votes[(signed_a, signed_b)].append(gap)
-        votes[(-signed_b, -signed_a)].append(gap)
+    votes = collect_pair_votes(unitigs, pairs_1, pairs_2, k, insert_mean,
+                               max_pairs)
 
     forward = defaultdict(list)
     for a, b in links:
@@ -610,16 +867,28 @@ def build_best_short_read_graph(args):
     best = None
     carried = None
     tmp_gfa = os.path.join(args.out, 'TEMP_k_graph.gfa')
-    for k in kmer_range:
+    for ki, k in enumerate(kmer_range):
         unitigs, links = assemble_short_reads(read_arrays, k,
                                               carried=carried)
         if not unitigs:
             log.log('  k=%d: no contigs' % k)
             continue
-        # carry raw unitigs (cleaned-graph carry was tried and measured
-        # worse: the depth filter drops genuinely low-depth connectors)
-        carried = [(encode_sequence(seq), count)
-                   for seq, count in unitigs if len(seq) >= 2 * k]
+        # carry raw unitigs >= 2k (strategy S0). Junction-window carry
+        # (S1/S2, build_carry_material) was measured on sample_data and
+        # REJECTED: carried windows are exempt from the solidity
+        # threshold, so every junction of the previous graph — including
+        # junk — freezes into the next k and the graph grows
+        # monotonically (866 -> 3776 unitigs across the ladder) instead
+        # of simplifying; without windows the ladder self-cleans but the
+        # top k dies of junction coverage (229 dead ends at k=119).
+        # Raw k-mer laddering therefore tops out near k ~ 0.75x read
+        # length; repeats longer than that are the paired-end resolver's
+        # job (resolve_paths_with_pairs / split_repeats_with_pairs), the
+        # same division of labour as SPAdes-assembly vs exSPAnder.
+        # Measurements: scripts/carry_lab.py.
+        if ki + 1 < len(kmer_range):
+            carried = make_carry('S0', unitigs, links, k,
+                                 kmer_range[ki + 1])
         save_graph_gfa(unitigs, links, k, tmp_gfa)
         graph = AssemblyGraph(tmp_gfa, k - 1)
         pop_graph_bubbles(graph)
@@ -641,9 +910,12 @@ def build_best_short_read_graph(args):
     _, k, unitigs, links = best
     insert_mean, insert_dev = estimate_insert_size(pairs_1, pairs_2,
                                                    unitigs, k)
+    unitigs, links, n_split = split_repeats_with_pairs(
+        unitigs, links, pairs_1, pairs_2, k, insert_mean, insert_dev)
     paths = resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
                                      insert_mean, insert_dev)
-    log.log('  best k=%d; %d paired-end paths resolved' % (k, len(paths)))
+    log.log('  best k=%d; %d repeats split by read pairs; '
+            '%d paired-end paths resolved' % (k, n_split, len(paths)))
     graph_file = gfa_path(args.out, 1, 'spades_graph')
     save_graph_gfa(unitigs, links, k, graph_file, paths)
     graph = AssemblyGraph(graph_file, k - 1, insert_size_mean=insert_mean,
