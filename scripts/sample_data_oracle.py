@@ -64,6 +64,110 @@ def coverage_identity(contigs, truth, scoring):
     return cov, ident
 
 
+def account_assembly(contigs, truth_by_name, scoring):
+    """Per-replicon bp accounting (round-3 verdict ask #4): assign every
+    contig to its best-matching truth replicon, sum the assigned contig
+    bp per replicon vs the replicon's length, and locate plasmid A's
+    surviving errors (repeat-region vs unique-region — a collapsed
+    repeat copy polished toward the wrong variant shows up as
+    repeat-region errors). Returns a JSON-able dict."""
+    import numpy as np
+    from unicycler_tpu.align.scoring import AlignmentScoringScheme
+    from unicycler_tpu.align.semi_global import align_reads_to_refs
+    from unicycler_tpu.io.fastx import Read, Reference
+    from unicycler_tpu.misc import reverse_complement
+
+    names = sorted(truth_by_name)
+    scheme = AlignmentScoringScheme(scoring)
+    reads = [Read('c%d' % i, seq, None) for i, seq in enumerate(contigs)]
+    refs = [Reference(nm, truth_by_name[nm] + truth_by_name[nm])
+            for nm in names]
+    align_reads_to_refs(reads, refs, scheme, low_score_threshold=70.9)
+
+    per = {nm: {'truth_bp': len(truth_by_name[nm]), 'assigned_bp': 0,
+                'n_contigs': 0, 'mismatches': 0, 'indel_bp': 0}
+           for nm in names}
+    unassigned_bp = 0
+    n_unassigned = 0
+    a_mismatch_positions = []       # positions on A (mod len) of errors
+    for read in reads:
+        if not read.alignments:
+            n_unassigned += 1
+            unassigned_bp += len(read.sequence)
+            continue
+        best = max(read.alignments, key=lambda a: a.raw_score)
+        nm = best.ref.name
+        per[nm]['assigned_bp'] += len(read.sequence)
+        per[nm]['n_contigs'] += 1
+        per[nm]['mismatches'] += best.mismatch_count
+        per[nm]['indel_bp'] += best.insertion_count + best.deletion_count
+        if len(truth_by_name[nm]) == 215774 and \
+                best.mismatch_count + best.insertion_count \
+                + best.deletion_count:
+            a_mismatch_positions.extend(
+                _alignment_error_positions(best, len(truth_by_name[nm])))
+
+    out = {'per_replicon': per,
+           'unassigned_contigs': n_unassigned,
+           'unassigned_bp': int(unassigned_bp)}
+    if a_mismatch_positions:
+        rep_mask = _repeat_mask(list(truth_by_name.values()),
+                                truth_by_name[
+                                    [nm for nm in names
+                                     if len(truth_by_name[nm]) == 215774][0]])
+        in_rep = sum(1 for p in a_mismatch_positions if rep_mask[p])
+        out['a_errors'] = {'total': len(a_mismatch_positions),
+                           'in_repeat_regions': in_rep,
+                           'in_unique_regions':
+                               len(a_mismatch_positions) - in_rep}
+    return out
+
+
+def _alignment_error_positions(alignment, truth_len):
+    """Truth positions (mod truth_len) of mismatches/indels from the
+    alignment's CIGAR, walking read vs doubled-truth."""
+    positions = []
+    ref_pos = alignment.ref_start_pos
+    read_pos = 0
+    read_seq = alignment.read.sequence
+    if alignment.rev_comp:
+        from unicycler_tpu.misc import reverse_complement
+        read_seq = reverse_complement(read_seq)
+    ref_seq = alignment.ref.sequence
+    for part in alignment.cigar_parts or []:
+        n, op = int(part[:-1]), part[-1]
+        if op == 'S':
+            read_pos += n
+        elif op == 'M':
+            for j in range(n):
+                if read_seq[read_pos + j] != ref_seq[ref_pos + j]:
+                    positions.append((ref_pos + j) % truth_len)
+            read_pos += n
+            ref_pos += n
+        elif op == 'I':
+            positions.append(ref_pos % truth_len)
+            read_pos += n
+        elif op == 'D':
+            positions.extend((ref_pos + j) % truth_len for j in range(n))
+            ref_pos += n
+    return positions
+
+
+def _repeat_mask(all_truths, a_seq, k=51):
+    """Boolean mask over plasmid A: position's k-mer occurs more than
+    once across the whole (circular, double-stranded) truth."""
+    from unicycler_tpu.misc import reverse_complement
+    counts = {}
+    for s in all_truths:
+        d = s + s[:k - 1]
+        for strand in (d, reverse_complement(d)):
+            for i in range(len(strand) - k + 1):
+                km = strand[i:i + k]
+                counts[km] = counts.get(km, 0) + 1
+    dA = a_seq + a_seq[:k - 1]
+    return [counts[dA[i:i + k]] > 2 for i in range(len(a_seq))]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default=None)
@@ -121,6 +225,9 @@ def main():
                                 'identity': round(ident, 2)}
     if cov < 0.98 or ident < 99.0:
         ok = False
+    # per-replicon bp accounting + A error localisation (VERDICT r3 #4)
+    result['accounting'] = account_assembly(contigs, truth_by_name,
+                                            '3,-6,-5,-2')
     result['pass'] = ok
 
     path = os.path.join(os.path.dirname(os.path.dirname(

@@ -301,7 +301,14 @@ def _dispatch_job_device(job, walk_state):
         # into the same tape launches: a launch's serial length is its
         # LONGEST task, so four 70 kb reads sharing one launch cost one
         # 70k-row tape instead of pinning four separate ones.
-        CHUNK_ROWS = 250_000
+        # The FIRST chunks (across all jobs) flush early: until the
+        # device has work, every seeded row sits on the critical path —
+        # profiling showed ~0.2 s of seeding before the first dispatch,
+        # fully serialized with device compute. A small first launch
+        # costs one extra dispatch (~10 ms) and buys that overlap.
+        def chunk_threshold():
+            n = len(walk_state.handles)
+            return (80_000, 150_000)[n] if n < 2 else 250_000
         live_reads.sort(key=lambda r: -r.get_length())
         level_chunks = []
         chunk_tasks: List[_Task] = []
@@ -319,20 +326,34 @@ def _dispatch_job_device(job, walk_state):
                     walk_state.start_ready()
             del chunk_tasks[:]
 
-        for read in live_reads:
-            with trace.span('seed_and_tasks'):
-                clusters = index.lookup(read.codes)
-                if job.debug_dir is not None:
-                    _dump_seed_debug(job.debug_dir, read, level, clusters)
-                new_tasks = _make_tasks(
-                    read, job.references, clusters[:max_traces], band)
-            chunk_tasks.extend(new_tasks)
-            chunk_rows += sum(len(t.banded.q) for t in new_tasks)
-            if chunk_rows >= CHUNK_ROWS:
-                flush_chunk()
-                chunk_rows = 0
-            elif len(walk_state.handles) > walk_state.cursor:
-                walk_state.start_ready()
+        # Threaded seeding (the reference's own ThreadPool shape,
+        # ref unicycler_align.py:204): lookup + task building spend
+        # most of their time in native seed search and numpy, which
+        # release the GIL, so 3 workers cut the ~0.3 s/iteration of
+        # host seeding that sits on the critical path before the first
+        # dispatch. Results are consumed IN ORDER so chunk packing and
+        # dispatch order stay deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def seed_one(read):
+            clusters = index.lookup(read.codes)
+            if job.debug_dir is not None:
+                _dump_seed_debug(job.debug_dir, read, level, clusters)
+            return _make_tasks(read, job.references,
+                               clusters[:max_traces], band)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [pool.submit(seed_one, read) for read in live_reads]
+            for fut in futures:
+                with trace.span('seed_and_tasks'):
+                    new_tasks = fut.result()
+                chunk_tasks.extend(new_tasks)
+                chunk_rows += sum(len(t.banded.q) for t in new_tasks)
+                if chunk_rows >= chunk_threshold():
+                    flush_chunk()
+                    chunk_rows = 0
+                elif len(walk_state.handles) > walk_state.cursor:
+                    walk_state.start_ready()
         if chunk_tasks:
             flush_chunk()
         job._levels.append((level, band, level_chunks))

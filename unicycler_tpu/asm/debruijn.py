@@ -448,12 +448,12 @@ def save_graph_gfa(unitigs, links, k, filename, paths=None):
                 ','.join([overlap_cigar] * (len(path) - 1))))
 
 
-def collect_pair_votes(unitigs, pairs_1, pairs_2, k, insert_mean,
+def collect_pair_votes(unitigs, links, pairs_1, pairs_2, k, insert_mean,
                        max_pairs=20000):
-    """Insert-implied gap votes between oriented unitigs from uniquely
-    placed read pairs: votes[(signed_a, signed_b)] = list of gap
-    estimates between the END of oriented `a` and the START of oriented
-    `b` (mate 1 forward on the fragment, mate 2 reverse). Shared by the
+    """Insert-implied gap votes between oriented unitigs from placed
+    read pairs: votes[(signed_a, signed_b)] = list of gap estimates
+    between the END of oriented `a` and the START of oriented `b`
+    (mate 1 forward on the fragment, mate 2 reverse). Shared by the
     path resolver and the repeat splitter."""
     from ..ops.minimizer import MinimizerIndex
     votes = defaultdict(list)
@@ -468,19 +468,34 @@ def collect_pair_votes(unitigs, pairs_1, pairs_2, k, insert_mean,
     h1_all = index.lookup_many(sel_1, min_hits=2)
     h2_all = index.lookup_many(sel_2, min_hits=2)
 
+    linked_pairs = set()
+    for a, b in links:
+        linked_pairs.add(frozenset((abs(a), abs(b))))
+
     def usable(hits):
-        # A mate near a junction legitimately hits BOTH flanking
-        # unitigs (the k-1 overlap), and junction-straddling pairs are
-        # exactly the informative ones — requiring a unique hit starved
-        # vote collection to 63 voting pairs out of 10k (measured on
-        # sample_data k=93). Use up to 3 solidly-anchored hits per mate;
-        # consumers' decisiveness margins + the gap-consistency window
-        # absorb the occasional wrong-copy hit.
+        # Placement discipline, measured on sample_data k=93:
+        # unique-only placement starves votes (63 voting pairs out of
+        # 10k — a mate near a junction legitimately hits BOTH flanking
+        # unitigs through the k-1 overlap), while accepting any
+        # multi-hit poisons them (12/34 "decisive" repeat matches were
+        # false — diverged IS copies impersonate adjacency with up to
+        # 92 insert-consistent votes). The rule that keeps both
+        # properties: a multi-hit mate is usable only when every pair
+        # of its hits is GRAPH-ADJACENT (a junction straddle names one
+        # genomic locus); hits on unlinked unitigs mean the mate sits
+        # in an ambiguous repeat copy and must not vote.
         if not hits:
             return ()
         ranked = sorted(hits, key=lambda x: -x.n_hits)[:3]
         floor = max(4, ranked[0].n_hits // 4)
-        return [x for x in ranked if x.n_hits >= floor]
+        ranked = [x for x in ranked if x.n_hits >= floor]
+        for i in range(len(ranked)):
+            for j in range(i + 1, len(ranked)):
+                key = frozenset((ranked[i].ref_id + 1,
+                                 ranked[j].ref_id + 1))
+                if len(key) > 1 and key not in linked_pairs:
+                    return ()
+        return ranked
 
     for c1, c2, h1, h2 in zip(sel_1, sel_2, h1_all, h2_all):
         for a in usable(h1):
@@ -525,7 +540,7 @@ def split_repeats_with_pairs(unitigs, links, pairs_1, pairs_2, k,
     each round because splitting renumbers)."""
     total_split = 0
     for _ in range(rounds):
-        votes = collect_pair_votes(unitigs, pairs_1, pairs_2, k,
+        votes = collect_pair_votes(unitigs, links, pairs_1, pairs_2, k,
                                    insert_mean)
         if not votes:
             break
@@ -648,8 +663,8 @@ def resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
     if not pairs_1 or not pairs_2 or not links:
         return []
     lengths = [len(seq) for seq, _ in unitigs]
-    votes = collect_pair_votes(unitigs, pairs_1, pairs_2, k, insert_mean,
-                               max_pairs)
+    votes = collect_pair_votes(unitigs, links, pairs_1, pairs_2, k,
+                               insert_mean, max_pairs)
 
     forward = defaultdict(list)
     for a, b in links:

@@ -85,7 +85,15 @@ def polish_round(unitig_graph, reads, scoring):
             qual = qual[::-1]
         qv = np.frombuffer(qual.encode()[:len(codes)].ljust(
             len(codes), b'\x00'), np.uint8).astype(np.int64)
-        votes[ref_name].add_alignment(pa.cigar, pa.s1_start,
+        # Normalise indel placement before voting: equivalent alignments
+        # otherwise split gap votes across columns inside duplications /
+        # homopolymers and assembly insertions survive every round
+        # (ops/votes.left_align_indels docstring has the measurement).
+        from ..ops.votes import left_align_indels
+        runs = left_align_indels(pa.cigar, codes,
+                                 ref_by_name[ref_name].codes,
+                                 pa.s1_start, win_start + pa.s2_start)
+        votes[ref_name].add_alignment(runs, pa.s1_start,
                                       win_start + pa.s2_start, codes, qv)
 
     # Consensus call per unitig.
@@ -96,9 +104,14 @@ def polish_round(unitig_graph, reads, scoring):
         original = seg.forward_sequence
         n = len(original)
         best_code, best_count, _ = v.best_bases()
-        covered = v.base.sum(axis=1) > 0
         cover = v.cover
         gap = v.gap
+        # covered = any read SPANS the column, including pure-deletion
+        # coverage: a spurious assembly insertion gets ONLY gap votes
+        # (every read aligns around it, none through it), and counting
+        # just base votes marked it "uncovered" and kept it verbatim —
+        # the 27-bp-surviving-polish bug on perfect-read OLC assemblies.
+        covered = (v.base.sum(axis=1) > 0) | (gap > 0)
         orig_arr = np.frombuffer(original.encode(), dtype='S1')
         best_arr = np.frombuffer(decode_sequence(best_code).encode(),
                                  dtype='S1')
