@@ -334,6 +334,8 @@ def _dispatch_job_device(job, walk_state):
         # dispatch. Results are consumed IN ORDER so chunk packing and
         # dispatch order stay deterministic.
         from concurrent.futures import ThreadPoolExecutor
+        import os as _os
+        n_workers = int(_os.environ.get('UNICYCLER_TPU_SEED_THREADS', '3'))
 
         def seed_one(read):
             clusters = index.lookup(read.codes)
@@ -342,7 +344,7 @@ def _dispatch_job_device(job, walk_state):
             return _make_tasks(read, job.references,
                                clusters[:max_traces], band)
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
             futures = [pool.submit(seed_one, read) for read in live_reads]
             for fut in futures:
                 with trace.span('seed_and_tasks'):

@@ -342,7 +342,12 @@ def main(arg_list=None):
                 bridges += create_miniasm_bridges(
                     graph, string_graph, anchor_segments, scoring_scheme,
                     args.verbosity, args.min_bridge_qual)
-            if bridge_round == 0 and not args.no_simple_bridges:
+            if not args.no_simple_bridges:
+                # Rounds >= 2 re-run the simple bridges too: the merged
+                # graph's remaining junctions are mostly 2-in/2-out
+                # choices between long merged flanks — exactly the shape
+                # the junction-vote machinery resolves, and the round-1
+                # pass could not see these junctions before merging.
                 bridges += create_simple_long_read_bridges(
                     graph, args.out, args.keep, args.threads, read_dict,
                     long_read_filename, scoring_scheme, anchor_segments)
@@ -463,8 +468,9 @@ def get_anchor_segments(graph, min_anchor_seg_len):
     anchor_seg_nums |= set(x.number
                            for x in graph.get_no_copy_depth_segments()
                            if x.get_length() >= graph_n80)
-    anchor_seg_nums |= set(x.number for x in graph.segments.values()
-                           if x.get_length() >= graph_n50)
+    anchor_seg_nums |= set(
+        x.number for x in graph.segments.values()
+        if x.get_length() >= min(graph_n50, settings.ANCHOR_N50_CAP))
 
     # Rescue dead-end-free components with no anchors (ref :529-553).
     for component in graph.get_connected_components():

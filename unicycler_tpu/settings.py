@@ -73,6 +73,15 @@ PROGRESSIVE_PATH_SEARCH_SCORE_FRACTION = 0.995
 INITIAL_SINGLE_COPY_TOLERANCE = 0.1
 COPY_PROPAGATION_TOLERANCE = 0.5
 MIN_SINGLE_COPY_LENGTH = 1000
+
+# Anchor selection: "every segment >= graph N50" (ref unicycler.py:517)
+# self-limits on MERGED graphs — after a bridging round the N50 jumps
+# (3.5 kb -> 31 kb measured on sample_data), so the rule that admitted
+# mid-size contigs in round 1 admits almost nothing in round 2+ and
+# re-anchored bridging starves. Cap the N50-based length threshold at an
+# absolute value: identical behaviour on typical fragmented graphs
+# (N50 below the cap), more anchors on merged ones.
+ANCHOR_N50_CAP = 10000
 MAX_COPY_DEPTH_DISTRIBUTION_ARRANGEMENTS = 10000
 COPY_DEPTH_PROPAGATION_TABLE_ROW_WIDTH = 35
 
