@@ -49,5 +49,5 @@ def test_reference_defaults_preset():
     (currently: single-round bridging; README 'Defaults that differ')."""
     from unicycler_tpu.pipeline.main import get_arguments
     base = ['-1', 'r1.fq', '-2', 'r2.fq', '-o', 'out']
-    assert get_arguments(base).bridge_rounds == 2
+    assert get_arguments(base).bridge_rounds == 3
     assert get_arguments(base + ['--reference_defaults']).bridge_rounds == 1

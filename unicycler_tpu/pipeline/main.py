@@ -103,7 +103,7 @@ def get_arguments(args=None):
                             'sequence')
     other.add_argument('--min_anchor_seg_len', type=int, default=None,
                        help=ext('Minimum length for anchor segments'))
-    other.add_argument('--bridge_rounds', type=int, default=2,
+    other.add_argument('--bridge_rounds', type=int, default=3,
                        help=ext('Long-read bridging rounds: later rounds '
                                 're-anchor on the merged graph so the '
                                 'same reads can span junctions the first '
