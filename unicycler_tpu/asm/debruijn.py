@@ -430,7 +430,13 @@ def build_carry_material(unitigs, links, k_prev, k_next,
     return out
 
 
-def save_graph_gfa(unitigs, links, k, filename, paths=None):
+def save_graph_gfa(unitigs, links, k, filename, paths=None,
+                   hk_paths=None):
+    """P-line names matter downstream: 'PATH_*' records are paired-end
+    resolved paths (insert-size evidence, subject to the reference's
+    bridge length penalty); 'HKPATH_*' records are higher-k continuity
+    paths (resolve_paths_with_higher_k) whose evidence does not decay
+    with bridge length (bridges/spades_contig.py exempts them)."""
     with open(filename, 'w') as gfa:
         for idx, (seq, count) in enumerate(unitigs):
             gfa.write('S\t%d\t%s\tLN:i:%d\tdp:f:%.4f\n'
@@ -440,16 +446,118 @@ def save_graph_gfa(unitigs, links, k, filename, paths=None):
                       % (abs(a), '+' if a > 0 else '-', abs(b),
                          '+' if b > 0 else '-', k - 1))
         overlap_cigar = '%dM' % (k - 1)
-        for i, path in enumerate(paths or []):
-            gfa.write('P\tPATH_%d\t%s\t%s\n' % (
-                i + 1,
-                ','.join('%d%s' % (abs(x), '+' if x > 0 else '-')
-                         for x in path),
-                ','.join([overlap_cigar] * (len(path) - 1))))
+        for prefix, group in (('PATH', paths), ('HKPATH', hk_paths)):
+            for i, path in enumerate(group or []):
+                gfa.write('P\t%s_%d\t%s\t%s\n' % (
+                    prefix, i + 1,
+                    ','.join('%d%s' % (abs(x), '+' if x > 0 else '-')
+                             for x in path),
+                    ','.join([overlap_cigar] * (len(path) - 1))))
+
+
+def thread_sequence_through(seq, seqs, fwd, concat, starts, sig_at, k):
+    """Express `seq` as a walk through the unitig graph by exact
+    matching (helper of resolve_paths_with_higher_k). Returns the
+    signed path, or None when the anchor is absent/ambiguous or the
+    walk cannot be matched. `concat` is the '#'-joined concatenation of
+    every oriented unitig sequence, `starts`/`sig_at` map global
+    offsets back to (signed unitig, local offset)."""
+    import bisect
+    o = k - 1
+    if len(seq) < o:
+        return None
+    anchor = seq[:o]
+    hits = []
+    pos = concat.find(anchor)
+    while pos >= 0 and len(hits) <= 4:
+        gi = bisect.bisect_right(starts, pos) - 1
+        hits.append((sig_at[gi], pos - starts[gi]))
+        pos = concat.find(anchor, pos + 1)
+    threads = []
+    for start_sig, start_off in hits:
+        path = [start_sig]
+        u = seqs[start_sig]
+        m = min(len(u) - start_off, len(seq))
+        if u[start_off:start_off + m] != seq[:m]:
+            continue
+        spos = m
+        ok = True
+        while spos < len(seq) and len(path) < 500:
+            matches = []
+            for nxt in fwd.get(path[-1], ()):
+                v = seqs[nxt]
+                mm = min(len(v) - o, len(seq) - spos)
+                if mm <= 0 or v[o:o + mm] == seq[spos:spos + mm]:
+                    matches.append((nxt, max(mm, 0)))
+            if len(matches) != 1:
+                # dead end or ambiguous remainder: the walk so far is
+                # still a valid (truncated) description of seq's prefix
+                break
+            nxt, mm = matches[0]
+            if mm <= 0:
+                ok = False          # zero-progress segment: bail out
+                break
+            path.append(nxt)
+            spos += mm
+        if ok and len(path) >= 2:
+            threads.append(tuple(path))
+    threads = set(threads)
+    if len(threads) != 1:
+        return None
+    return list(threads.pop())
+
+
+def resolve_paths_with_higher_k(unitigs, links, hk_segments, k):
+    """Repeat resolution from HIGHER-k graphs (the second half of the
+    SPAdes exSPAnder role, complementing the insert-bounded
+    resolve_paths_with_pairs): a unitig assembled at k' > k is direct
+    read-continuity evidence for a specific walk through the k-graph —
+    repeats shorter than k' that k collapsed are spanned outright, with
+    no insert-size ceiling. Each high-k segment is threaded through the
+    k-graph by exact matching; full-length unambiguous threads become
+    contigs.paths-style records (consumed by SpadesContigBridge via
+    HKPATH_* P-lines). Chimera guard: a mis-joined high-k unitig either
+    fails to thread (its junction is not a k-graph link) or is dropped
+    by the caller's depth gate before reaching here."""
+    seqs = {}
+    for idx, (seq, _cnt) in enumerate(unitigs):
+        seqs[idx + 1] = seq
+        seqs[-(idx + 1)] = reverse_complement(seq)
+    fwd = defaultdict(set)
+    for a, b in links:
+        fwd[a].add(b)
+        fwd[-b].add(-a)
+    fwd = {key: sorted(val) for key, val in fwd.items()}
+    order = sorted(seqs)
+    concat_parts = []
+    starts = []
+    sig_at = []
+    gpos = 0
+    for sig in order:
+        starts.append(gpos)
+        sig_at.append(sig)
+        concat_parts.append(seqs[sig])
+        gpos += len(seqs[sig]) + 1
+    concat = '#'.join(concat_parts)
+
+    paths = []
+    seen = set()
+    for seq in hk_segments:
+        path = thread_sequence_through(seq, seqs, fwd, concat, starts,
+                                       sig_at, k)
+        if path is None or len(path) < 2:
+            continue
+        key = tuple(path)
+        rkey = tuple(-x for x in reversed(path))
+        if key in seen or rkey in seen:
+            continue
+        seen.add(key)
+        paths.append(path)
+    return paths
 
 
 def collect_pair_votes(unitigs, links, pairs_1, pairs_2, k, insert_mean,
-                       max_pairs=20000):
+                       max_pairs=80000):
     """Insert-implied gap votes between oriented unitigs from placed
     read pairs: votes[(signed_a, signed_b)] = list of gap estimates
     between the END of oriented `a` and the START of oriented `b`
@@ -483,7 +591,13 @@ def collect_pair_votes(unitigs, links, pairs_1, pairs_2, k, insert_mean,
         # properties: a multi-hit mate is usable only when every pair
         # of its hits is GRAPH-ADJACENT (a junction straddle names one
         # genomic locus); hits on unlinked unitigs mean the mate sits
-        # in an ambiguous repeat copy and must not vote.
+        # in an ambiguous repeat copy and must not vote. Round-4
+        # refinement (vote volume was the splitter's limiting factor —
+        # 744 votes from 25k pairs left every decisive threshold
+        # unreachable): a conflicted mate is RESCUED down to its top
+        # hit when that hit decisively outranks the runner-up (>= 3x
+        # minimizer hits) — a diverged-IS impersonation scores
+        # comparably on both copies and still gets dropped.
         if not hits:
             return ()
         ranked = sorted(hits, key=lambda x: -x.n_hits)[:3]
@@ -494,6 +608,8 @@ def collect_pair_votes(unitigs, links, pairs_1, pairs_2, k, insert_mean,
                 key = frozenset((ranked[i].ref_id + 1,
                                  ranked[j].ref_id + 1))
                 if len(key) > 1 and key not in linked_pairs:
+                    if ranked[0].n_hits >= 3 * ranked[1].n_hits:
+                        return ranked[:1]
                     return ()
         return ranked
 
@@ -614,34 +730,187 @@ def split_repeats_with_pairs(unitigs, links, pairs_1, pairs_2, k,
 
         if not split_plan:
             break
-        # apply: copy R per matched pair, rewire links
-        link_set = set(links)
-        for num, matched in split_plan:
-            idx = num - 1
-            seq, depth = unitigs[idx]
-            share = depth / len(matched)
-            copies = []
-            for i_sig, o_sig in matched:
-                # remove old links i->R, R->o (both orientations)
-                for va, vb in ((i_sig, num), (num, o_sig)):
-                    link_set.discard((va, vb))
-                    link_set.discard((-vb, -va))
-                copies.append((i_sig, o_sig))
-            # drop ALL links touching R (unmatched stray links too)
-            link_set = {l for l in link_set
-                        if abs(l[0]) != num and abs(l[1]) != num}
-            # first copy reuses R's slot, extras append
-            slot_nums = [num]
-            for _ in range(len(matched) - 1):
-                unitigs.append((seq, share))
-                slot_nums.append(len(unitigs))
-            unitigs[idx] = (seq, share)
-            for (i_sig, o_sig), new_num in zip(copies, slot_nums):
-                link_set.add((i_sig, new_num))
-                link_set.add((-new_num, -i_sig))
-                link_set.add((new_num, o_sig))
-                link_set.add((-o_sig, -new_num))
-        links = sorted(link_set)
+        links = _apply_split_plan(unitigs, links, split_plan)
+        total_split += len(split_plan)
+    return unitigs, links, total_split
+
+
+def simplify_unitigs(unitigs, links, k, tmp_gfa, depth_filter=0.25,
+                     largest_component=False):
+    """Merge linear chains (and pop error bulges / clean junk) at the
+    unitig level by round-tripping through AssemblyGraph. Run between
+    repeat-splitting passes: each split linearises part of a tangle, and
+    MERGING the freed chains is what lengthens unitigs enough for the
+    next evidence type to place on them (read pairs could not be placed
+    on the 185-250 bp tangle segments — mostly k-1 overlap — that the
+    pre-merge graph was full of)."""
+    from ..graph.assembly_graph import AssemblyGraph
+    save_graph_gfa(unitigs, links, k, tmp_gfa)
+    graph = AssemblyGraph(tmp_gfa, k - 1)
+    pop_graph_bubbles(graph)
+    graph.clean(depth_filter, largest_component)
+    graph.merge_all_possible(None, 2)
+    new_unitigs = []
+    remap = {}
+    for new_idx, num in enumerate(sorted(graph.segments)):
+        seg = graph.segments[num]
+        remap[num] = new_idx + 1
+        new_unitigs.append((seg.forward_sequence, seg.depth))
+    new_links = set()
+    for a, bs in graph.forward_links.items():
+        if abs(a) not in remap:
+            continue
+        sa = remap[abs(a)] * (1 if a > 0 else -1)
+        for b in bs:
+            if abs(b) not in remap:
+                continue
+            sb = remap[abs(b)] * (1 if b > 0 else -1)
+            new_links.add((sa, sb))
+            new_links.add((-sb, -sa))
+    return new_unitigs, sorted(new_links)
+
+
+def resolve_repeats(unitigs, links, hk_segments, pairs_1, pairs_2, k,
+                    insert_mean, insert_dev, tmp_gfa, depth_filter=0.25,
+                    largest_component=False, max_rounds=6):
+    """Interleaved repeat resolution (the exSPAnder role): alternate
+    higher-k thread splitting, linear-chain merging, and paired-end
+    splitting until a fixed point. The interleaving is the point —
+    thread splits resolve sub-k' repeats, merging lengthens the freed
+    chains, and the longer unitigs are what make read-pair placement
+    (and therefore pair splitting of repeats up to the insert reach)
+    possible at all. Returns (unitigs, links, n_thread_splits,
+    n_pair_splits)."""
+    tot_hk = tot_pairs = 0
+    for _ in range(max_rounds):
+        unitigs, links, n1 = split_repeats_with_threads(
+            unitigs, links, hk_segments, k, rounds=2)
+        if n1:
+            unitigs, links = simplify_unitigs(unitigs, links, k, tmp_gfa,
+                                              depth_filter,
+                                              largest_component)
+        unitigs, links, n2 = split_repeats_with_pairs(
+            unitigs, links, pairs_1, pairs_2, k, insert_mean, insert_dev,
+            rounds=1)
+        if n2:
+            unitigs, links = simplify_unitigs(unitigs, links, k, tmp_gfa,
+                                              depth_filter,
+                                              largest_component)
+        tot_hk += n1
+        tot_pairs += n2
+        if n1 + n2 == 0:
+            break
+    return unitigs, links, tot_hk, tot_pairs
+
+
+def _apply_split_plan(unitigs, links, split_plan):
+    """Apply a repeat-split plan: copy R per matched (in, out) pair,
+    rewire links, share R's depth across the copies. Mutates `unitigs`
+    in place (first copy reuses R's slot, extras append) and returns the
+    new sorted link list."""
+    link_set = set(links)
+    for num, matched in split_plan:
+        idx = num - 1
+        seq, depth = unitigs[idx]
+        share = depth / len(matched)
+        copies = []
+        for i_sig, o_sig in matched:
+            # remove old links i->R, R->o (both orientations)
+            for va, vb in ((i_sig, num), (num, o_sig)):
+                link_set.discard((va, vb))
+                link_set.discard((-vb, -va))
+            copies.append((i_sig, o_sig))
+        # drop ALL links touching R (unmatched stray links too)
+        link_set = {l for l in link_set
+                    if abs(l[0]) != num and abs(l[1]) != num}
+        # first copy reuses R's slot, extras append
+        slot_nums = [num]
+        for _ in range(len(matched) - 1):
+            unitigs.append((seq, share))
+            slot_nums.append(len(unitigs))
+        unitigs[idx] = (seq, share)
+        for (i_sig, o_sig), new_num in zip(copies, slot_nums):
+            link_set.add((i_sig, new_num))
+            link_set.add((-new_num, -i_sig))
+            link_set.add((new_num, o_sig))
+            link_set.add((-o_sig, -new_num))
+    return sorted(link_set)
+
+
+def split_repeats_with_threads(unitigs, links, hk_segments, k, rounds=4):
+    """Repeat splitting driven by HIGHER-K THREADS instead of insert
+    votes: a unitig assembled at k' > k that threads through [i, R, o]
+    is direct read continuity for that traversal (no insert-size
+    ceiling, no gap statistics). For a collapsed repeat R with balanced
+    in/out sets, thread votes must be CONFLICT-FREE to act: every
+    matched in-neighbour pairs with exactly one out-neighbour and no
+    other remaining in-neighbour claims it (higher-k chimeras are rare
+    but not impossible, so one conflicting witness vetoes the split).
+    Every pair must be WITNESSED: completing a partial matching by
+    elimination was measured to mis-join 40+ kb on sample_data (a
+    2-in/2-out repeat can carry three genuine traversals — e.g.
+    i1->o1, i1->o2, i2->o1 — and the forced leftover pairing invents
+    the fourth; a depth-agreement gate did not catch it either).
+    Threads are recomputed each round (splitting renumbers, and
+    resolving one repeat layer exposes the next — the same laddering
+    as split_repeats_with_pairs). Runs BEFORE the pair splitter so the
+    deterministic evidence acts first; the pair splitter then works on
+    the simplified graph."""
+    total_split = 0
+    for _ in range(rounds):
+        paths = resolve_paths_with_higher_k(unitigs, links, hk_segments,
+                                            k)
+        votes = defaultdict(lambda: defaultdict(int))
+        for path in paths:
+            for t in range(1, len(path) - 1):
+                mid = path[t]
+                i_sig, o_sig = path[t - 1], path[t + 1]
+                if mid < 0:
+                    mid, i_sig, o_sig = -mid, -o_sig, -i_sig
+                votes[mid][(i_sig, o_sig)] += 1
+        if not votes:
+            break
+        fwd = defaultdict(set)
+        for a, b in links:
+            fwd[a].add(b)
+            fwd[-b].add(-a)
+
+        split_plan = []
+        used_neighbors = set()
+        for idx in range(len(unitigs)):
+            num = idx + 1
+            ins = sorted(-x for x in fwd.get(-num, ()))
+            outs = sorted(fwd.get(num, ()))
+            if len(ins) < 2 or len(ins) != len(outs):
+                continue
+            if num in [abs(x) for x in ins + outs]:
+                continue               # self-adjacent (tandem): skip
+            vv = {(i, o): c
+                  for (i, o), c in votes.get(num, {}).items()
+                  if i in ins and o in outs}
+            if not vv:
+                continue
+            by_i = defaultdict(set)
+            by_o = defaultdict(set)
+            for (i, o) in vv:
+                by_i[i].add(o)
+                by_o[o].add(i)
+            if set(by_i) != set(ins) or set(by_o) != set(outs):
+                continue            # some neighbour never witnessed
+            if any(len(v) != 1 for v in by_i.values()) \
+                    or any(len(v) != 1 for v in by_o.values()):
+                continue            # conflicting witnesses
+            pairs = [(i, next(iter(by_i[i]))) for i in ins]
+            nums_involved = {num} | {abs(x) for x, _ in pairs} \
+                | {abs(x) for _, x in pairs}
+            if nums_involved & used_neighbors:
+                continue
+            used_neighbors |= nums_involved
+            split_plan.append((num, pairs))
+
+        if not split_plan:
+            break
+        links = _apply_split_plan(unitigs, links, split_plan)
         total_split += len(split_plan)
     return unitigs, links, total_split
 
@@ -923,16 +1192,60 @@ def build_best_short_read_graph(args):
         quit_with_error('short-read assembly produced no contigs')
 
     _, k, unitigs, links = best
+
+    # Resolution ladder ABOVE the best k: graphs at k' > best_k lose
+    # sequence at coverage-starved junctions (measured on sample_data:
+    # 14.7 kb of plasmid A at zero coverage by k=101) so they cannot BE
+    # the assembly — but their unitigs are read-continuity proof of
+    # specific walks through the best-k graph, spanning every repeat
+    # shorter than k'. Build them (continuing the S0 carry chain),
+    # clean each, and thread depth-sane segments through the best-k
+    # graph as HKPATH records (resolve_paths_with_higher_k).
+    hk_segments = []
+    hk_carry = make_carry('S0', unitigs, links, k, k + 8) \
+        if k < 127 else None
+    k_hi = k + 8 if k % 2 == 1 else k + 7
+    hk_tmp = os.path.join(args.out, 'TEMP_hk_graph.gfa')
+    while hk_carry is not None and k_hi <= min(127, max(kmer_range) + 8):
+        hk_unitigs, hk_links = assemble_short_reads(read_arrays, k_hi,
+                                                    carried=hk_carry)
+        if not hk_unitigs:
+            break
+        next_k = k_hi + 8
+        hk_carry = make_carry('S0', hk_unitigs, hk_links, k_hi, next_k) \
+            if next_k <= 127 else None
+        save_graph_gfa(hk_unitigs, hk_links, k_hi, hk_tmp)
+        hk_graph = AssemblyGraph(hk_tmp, k_hi - 1)
+        pop_graph_bubbles(hk_graph)
+        hk_graph.clean(args.depth_filter, args.largest_component)
+        depths = sorted(s.depth for s in hk_graph.segments.values())
+        med = depths[len(depths) // 2] if depths else 0.0
+        n_used = 0
+        for seg in hk_graph.segments.values():
+            if seg.depth >= 0.5 * med:
+                hk_segments.append(seg.forward_sequence)
+                n_used += 1
+        log.log('  resolution k=%d: %d clean segments, %d depth-sane'
+                % (k_hi, len(hk_graph.segments), n_used))
+        k_hi = next_k
+    if os.path.exists(hk_tmp):
+        os.remove(hk_tmp)
+
     insert_mean, insert_dev = estimate_insert_size(pairs_1, pairs_2,
                                                    unitigs, k)
-    unitigs, links, n_split = split_repeats_with_pairs(
-        unitigs, links, pairs_1, pairs_2, k, insert_mean, insert_dev)
+    unitigs, links, n_hk_split, n_split = resolve_repeats(
+        unitigs, links, hk_segments, pairs_1, pairs_2, k, insert_mean,
+        insert_dev, tmp_gfa, args.depth_filter, args.largest_component)
     paths = resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
                                      insert_mean, insert_dev)
-    log.log('  best k=%d; %d repeats split by read pairs; '
-            '%d paired-end paths resolved' % (k, n_split, len(paths)))
+    hk_paths = resolve_paths_with_higher_k(unitigs, links, hk_segments, k)
+    log.log('  best k=%d; %d repeats split by higher-k threads, %d by '
+            'read pairs; %d paired-end paths resolved; %d higher-k '
+            'paths threaded'
+            % (k, n_hk_split, n_split, len(paths), len(hk_paths)))
     graph_file = gfa_path(args.out, 1, 'spades_graph')
-    save_graph_gfa(unitigs, links, k, graph_file, paths)
+    save_graph_gfa(unitigs, links, k, graph_file, paths,
+                   hk_paths=hk_paths)
     graph = AssemblyGraph(graph_file, k - 1, insert_size_mean=insert_mean,
                           insert_size_deviation=insert_dev)
     pop_graph_bubbles(graph)

@@ -15,7 +15,7 @@ from .common import get_bridge_str, get_depth_agreement_factor, get_mean_depth
 
 class SpadesContigBridge(object):
 
-    def __init__(self, graph, spades_contig_path):
+    def __init__(self, graph, spades_contig_path, length_penalty=True):
         self.graph_path = list(spades_contig_path)
         self.start_segment = self.graph_path.pop(0)
         self.end_segment = self.graph_path.pop()
@@ -41,8 +41,12 @@ class SpadesContigBridge(object):
                 self.quality *= get_num_agreement(actual, expected)
 
         # Long bridges relative to the insert size are implausible
-        # (ref :85-96).
-        if self.graph_path:
+        # (ref :85-96) — for PAIRED-END-derived paths. Higher-k
+        # continuity paths (HKPATH records, asm/debruijn.py
+        # resolve_paths_with_higher_k) are exempt: their evidence is a
+        # chain of k'-mer junction windows along one assembled unitig,
+        # which does not decay with bridge length.
+        if self.graph_path and length_penalty:
             bridge_length = len(self.bridge_sequence)
             if bridge_length > graph.insert_size_mean:
                 self.quality *= (graph.insert_size_deviation
@@ -68,9 +72,11 @@ def create_spades_contig_bridges(graph, anchor_segments):
     122-202), with conflict removal when multiple paths share an end."""
     log.log_section_header('Creating SPAdes contig bridges')
     bridge_path_set = set()
+    no_penalty = set()          # bridge paths from HKPATH records
     single_copy_numbers = [x.number for x in anchor_segments]
     for segment in anchor_segments:
-        for path in graph.paths.values():
+        for path_name, path in graph.paths.items():
+            is_hk = path_name.startswith('HKPATH')
             flipped_path = [-x for x in reversed(path)]
             contig_bridges = find_contig_bridges(segment.number, path,
                                                  single_copy_numbers)
@@ -86,6 +92,9 @@ def create_spades_contig_bridges(graph, anchor_segments):
                         bridge_path_set.add(fs)
                     else:
                         bridge_path_set.add(s)
+                if is_hk:
+                    no_penalty.add(s)
+                    no_penalty.add(fs)
 
     bridge_path_list = sorted([[int(y) for y in x.split(',')]
                                for x in bridge_path_set])
@@ -112,7 +121,10 @@ def create_spades_contig_bridges(graph, anchor_segments):
             no_dupes.append(path)
     final_paths = [x for x in bridge_path_list if x not in no_dupes]
 
-    bridges = [SpadesContigBridge(spades_contig_path=x, graph=graph)
+    bridges = [SpadesContigBridge(
+                   spades_contig_path=x, graph=graph,
+                   length_penalty=','.join(str(y) for y in x)
+                   not in no_penalty)
                for x in final_paths]
     if not bridges:
         log.log('No SPAdes contig bridges')

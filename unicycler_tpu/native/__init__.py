@@ -16,7 +16,8 @@ _BUILD_FAILED = False
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_SRC_DIR, 'libunicycler_tpu_native.so')
 _HASH_PATH = os.path.join(_SRC_DIR, '.build_hash')
-_SOURCES = ['cigar_decode.cpp', 'lis.cpp', 'seedsearch.cpp']
+_SOURCES = ['cigar_decode.cpp', 'lis.cpp', 'seedsearch.cpp',
+            'sketch.cpp']
 
 
 def _source_hash():
@@ -77,6 +78,15 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int]
+    lib.window_ranges_bounded.restype = None
+    lib.window_ranges_bounded.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.sketch_minimizers.restype = ctypes.c_int64
+    lib.sketch_minimizers.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -146,6 +156,47 @@ def native_window_ranges(ck, qck, lo_add, hi_add):
                           lo.ctypes.data, hi.ctypes.data,
                           _N_SEARCH_THREADS)
     return lo, hi
+
+
+def native_window_ranges_bounded(ck, lo0, hi0, qck, lo_add, hi_add):
+    """window_ranges within precomputed per-query occurrence bounds
+    [lo0, hi0) — the cached-base-ranges fast path of
+    collect_common_kmers. Returns None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ck = np.ascontiguousarray(ck, dtype=np.uint64)
+    qck = np.ascontiguousarray(qck, dtype=np.uint64)
+    lo0 = np.ascontiguousarray(lo0, dtype=np.int64)
+    hi0 = np.ascontiguousarray(hi0, dtype=np.int64)
+    m = len(qck)
+    lo = np.empty(m, np.int64)
+    hi = np.empty(m, np.int64)
+    lib.window_ranges_bounded(ck.ctypes.data, lo0.ctypes.data,
+                              hi0.ctypes.data, m,
+                              int(lo_add), int(hi_add), qck.ctypes.data,
+                              lo.ctypes.data, hi.ctypes.data,
+                              _N_SEARCH_THREADS)
+    return lo, hi
+
+
+def native_sketch(codes, k, w):
+    """Native (w,k)-minimiser sketch; returns (hashes uint64, pos int32,
+    strand int8) or None if the library is unavailable. Semantics are
+    pinned against ops/minimizer.sketch by tests/test_minimizer.py."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    n = len(codes)
+    cap = max(1, n)
+    out_hash = np.empty(cap, np.uint64)
+    out_pos = np.empty(cap, np.int32)
+    out_strand = np.empty(cap, np.int8)
+    m = lib.sketch_minimizers(codes.ctypes.data, n, int(k), int(w),
+                              out_hash.ctypes.data, out_pos.ctypes.data,
+                              out_strand.ctypes.data)
+    return out_hash[:m], out_pos[:m], out_strand[:m]
 
 
 def native_lis(values):

@@ -67,7 +67,14 @@ class Minimizers(NamedTuple):
 def sketch(codes: np.ndarray, k: int, w: int) -> Minimizers:
     """(w,k)-minimisers of one sequence (semantics of minimap's mm_sketch:
     canonical strand-aware k-mer hashing, window minima, no duplicates for
-    strand-ambiguous k-mers)."""
+    strand-ambiguous k-mers). Native single-pass implementation
+    (native/sketch.cpp) when available; this numpy formulation is the
+    semantic oracle it is pinned against (tests/test_minimizer.py)."""
+    if k < 32:
+        from ..native import native_sketch
+        nat = native_sketch(codes, k, w)
+        if nat is not None:
+            return Minimizers(*nat)
     kmers, valid = _kmer_codes(codes, k)
     if len(kmers) == 0:
         return Minimizers(np.zeros(0, np.uint64), np.zeros(0, np.int32),
@@ -418,6 +425,30 @@ def _cached_query_kmers(codes: np.ndarray, k: int):
     return qk, qv
 
 
+_BASE_RANGE_CACHE = {}
+
+
+def _get_base_ranges(qk, qck, ck):
+    """Full occurrence-list bounds [lo0, hi0) of every query k-mer in
+    the composite fine index, computed once per (read, reference) and
+    reused by every windowed task of that pair (the repeated full-index
+    binary searches dominated collect_common_kmers when one read seeds
+    several tasks). hi_add=0xFFFFFFFF bounds the position field, which
+    never reaches 2^32-1."""
+    key = (id(qk), id(ck))
+    ent = _BASE_RANGE_CACHE.get(key)
+    if ent is not None and ent[0] is qk and ent[1] is ck:
+        return ent[2], ent[3]
+    from ..native import native_window_ranges
+    ranges = native_window_ranges(ck, qck, 0, 0xFFFFFFFF)
+    if ranges is None:
+        return None
+    if len(_BASE_RANGE_CACHE) > 64:
+        _BASE_RANGE_CACHE.clear()
+    _BASE_RANGE_CACHE[key] = (qk, ck, ranges[0], ranges[1])
+    return ranges
+
+
 def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
                          line_read: np.ndarray, line_ref: np.ndarray,
                          k: int = 10, max_dist: int = 100,
@@ -445,9 +476,17 @@ def collect_common_kmers(q_codes: np.ndarray, r_codes: np.ndarray,
         w0, w1 = window
         ck = get_fine_index(r_codes, k)
         qck = qk << np.uint64(32)
-        from ..native import native_window_ranges
-        ranges = native_window_ranges(ck, qck, max(w0, 0),
-                                      max(w1 - k + 1, 0))
+        from ..native import (native_window_ranges,
+                              native_window_ranges_bounded)
+        base = _get_base_ranges(qk, qck, ck)
+        ranges = None
+        if base is not None:
+            ranges = native_window_ranges_bounded(
+                ck, base[0], base[1], qck, max(w0, 0),
+                max(w1 - k + 1, 0))
+        if ranges is None:
+            ranges = native_window_ranges(ck, qck, max(w0, 0),
+                                          max(w1 - k + 1, 0))
         if ranges is not None:
             lo, hi = ranges
         else:
