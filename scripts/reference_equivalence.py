@@ -1,0 +1,389 @@
+"""Graph-half head-to-head against the ACTUAL reference pipeline.
+
+VERDICT r4 ask #2: run the reference (/root/reference Python + its
+compiled cpp_functions.so) resuming from a SHARED depth-filter GFA and a
+SHARED long-read SAM with --no_miniasm/--no_rotate, run unicycler_tpu on
+the same inputs, and diff: the cleaned graphs, the bridge sets and their
+application order/result, and the final assemblies. Writes
+RESULTS_equivalence.json at the repo root.
+
+The shared inputs come from a unicycler_tpu run on the reference's own
+sample_data (the reference supports exactly this resume:
+unicycler.py:71-74 loads an existing 002_depth_filter.gfa;
+unicycler.py:824-832 reuses read_alignment/long_read_alignments.sam when
+its @SQ set matches the graph). SPAdes itself never runs — a stub
+spades.py satisfies the up-front dependency probe (misc.py:799-822),
+which version-checks even when the resume makes SPAdes unnecessary.
+
+Usage: python scripts/reference_equivalence.py [workdir]
+  (workdir defaults to /tmp/refeq; the reference build is expected at
+   /tmp/refbuild — `cp -r /root/reference /tmp/refbuild && make -C /tmp/refbuild`)
+"""
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBUILD = '/tmp/refbuild'
+SAMPLE = '/root/reference/sample_data'
+SHORT1 = os.path.join(SAMPLE, 'short_reads_1.fastq.gz')
+SHORT2 = os.path.join(SAMPLE, 'short_reads_2.fastq.gz')
+LONG = os.path.join(SAMPLE, 'long_reads_low_depth.fastq.gz')
+TRUTH = os.path.join(SAMPLE, 'reference.fasta')
+
+
+def run(cmd, log_path, env=None):
+    print('RUN: %s\n  -> %s' % (' '.join(cmd), log_path), flush=True)
+    with open(log_path, 'w') as out:
+        proc = subprocess.run(cmd, stdout=out, stderr=subprocess.STDOUT,
+                              env=env)
+    if proc.returncode != 0:
+        print(open(log_path).read()[-4000:])
+        raise RuntimeError('command failed rc=%d: %s'
+                           % (proc.returncode, ' '.join(cmd)))
+
+
+def make_spades_stub(work):
+    stub_dir = os.path.join(work, 'stub_bin')
+    os.makedirs(stub_dir, exist_ok=True)
+    stub = os.path.join(stub_dir, 'spades.py')
+    with open(stub, 'w') as f:
+        f.write('#!/usr/bin/env python3\n'
+                '# Version-probe stub: the reference run resumes from an\n'
+                '# existing depth-filter graph, so SPAdes never executes;\n'
+                '# only misc.spades_path_and_version probes this.\n'
+                'print("SPAdes genome assembler v3.15.5")\n')
+    os.chmod(stub, 0o755)
+    return stub
+
+
+# ---------------------------------------------------------------------------
+# comparisons
+
+def load_gfa_struct(path):
+    segs, links, paths = {}, set(), {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip('\n').split('\t')
+            if parts[0] == 'S':
+                depth = None
+                for p in parts:
+                    if p.lower().startswith('dp:'):
+                        depth = float(p[5:])
+                segs[parts[1]] = (parts[2].upper(), depth)
+            elif parts[0] == 'L':
+                links.add((parts[1], parts[2], parts[3], parts[4]))
+            elif parts[0] == 'P':
+                paths[parts[1]] = parts[2]
+    return segs, links, paths
+
+
+def compare_gfas(path_a, path_b, depth_tol=0.05):
+    """Structural diff of two GFAs; returns a dict of differences."""
+    sa, la, pa = load_gfa_struct(path_a)
+    sb, lb, pb = load_gfa_struct(path_b)
+    diff = {}
+    only_a = sorted(set(sa) - set(sb))
+    only_b = sorted(set(sb) - set(sa))
+    if only_a or only_b:
+        diff['segments_only_in_a'] = only_a[:20]
+        diff['segments_only_in_b'] = only_b[:20]
+    seq_mismatch, depth_mismatch = [], []
+    for num in sorted(set(sa) & set(sb)):
+        if sa[num][0] != sb[num][0]:
+            seq_mismatch.append(num)
+        elif sa[num][1] is not None and sb[num][1] is not None and \
+                abs(sa[num][1] - sb[num][1]) > depth_tol * max(
+                    1.0, abs(sb[num][1])):
+            depth_mismatch.append(num)
+    if seq_mismatch:
+        diff['sequence_mismatch'] = seq_mismatch[:20]
+    if depth_mismatch:
+        diff['depth_mismatch'] = depth_mismatch[:20]
+    if la != lb:
+        diff['links_only_in_a'] = sorted(la - lb)[:20]
+        diff['links_only_in_b'] = sorted(lb - la)[:20]
+    if pa != pb:
+        keys = set(pa) | set(pb)
+        diff['path_mismatch'] = sorted(
+            k for k in keys if pa.get(k) != pb.get(k))[:20]
+    diff['equal'] = not diff
+    diff['a_segments'] = len(sa)
+    diff['b_segments'] = len(sb)
+    diff['a_links'] = len(la)
+    diff['b_links'] = len(lb)
+    return diff
+
+
+BRIDGE_TYPES = ('long read', 'simple long read', 'miniasm', 'SPAdes',
+                'loop')
+ARROW_RE = re.compile(r'(-?\d+)\s*(?:->|→)\s*(-?\d+)')
+
+
+def parse_bridge_table(log_text):
+    """Applied-bridge rows from a verbosity-2 run's output: the bridge
+    application table prints one row per bridge (type, start->end, path,
+    quality, result), wrapped at 40 columns — rows are re-joined by
+    their leading type-name token."""
+    lines = log_text.splitlines()
+    try:
+        start = next(i for i, ln in enumerate(lines)
+                     if 'Applying bridges' in ln)
+    except StopIteration:
+        return []
+    rows, current = [], None
+    blank_run = 0
+    for ln in lines[start:]:
+        stripped = ln.strip()
+        if not stripped:
+            blank_run += 1
+            if current and blank_run > 2:
+                break
+            continue
+        first_two = ' '.join(stripped.split()[:3])
+        is_row_start = any(first_two.startswith(t) or
+                           stripped.startswith(t) for t in BRIDGE_TYPES)
+        if is_row_start:
+            if current:
+                rows.append(current)
+            current = stripped
+        elif current is not None and ln.startswith(' '):
+            current += ' ' + stripped
+        blank_run = 0
+    if current:
+        rows.append(current)
+    parsed = []
+    for row in rows:
+        m = ARROW_RE.search(row)
+        if not m:
+            continue
+        btype = next(t for t in BRIDGE_TYPES
+                     if row.startswith(t))
+        result = 'applied'
+        for res in ('applied', 'rejected', 'unused'):
+            if row.rstrip().endswith(res):
+                result = res
+        quality = None
+        floats = re.findall(r'\d+\.\d\d\d', row)
+        if floats:
+            quality = float(floats[-1])
+        parsed.append({'type': btype, 'start': int(m.group(1)),
+                       'end': int(m.group(2)), 'quality': quality,
+                       'result': result})
+    return parsed
+
+
+def compare_bridges(rows_a, rows_b):
+    """Keyed on (type, start, end): compare presence, result and
+    quality."""
+    ka = {(r['type'], r['start'], r['end']): r for r in rows_a}
+    kb = {(r['type'], r['start'], r['end']): r for r in rows_b}
+    out = {
+        'a_total': len(rows_a), 'b_total': len(rows_b),
+        'a_applied': sum(r['result'] == 'applied' for r in rows_a),
+        'b_applied': sum(r['result'] == 'applied' for r in rows_b),
+        'only_in_a': sorted(map(str, set(ka) - set(kb)))[:30],
+        'only_in_b': sorted(map(str, set(kb) - set(ka)))[:30],
+    }
+    result_diff, quality_diff = [], []
+    for k in sorted(set(ka) & set(kb), key=str):
+        ra, rb = ka[k], kb[k]
+        if ra['result'] != rb['result']:
+            result_diff.append('%s: a=%s b=%s' % (k, ra['result'],
+                                                  rb['result']))
+        if ra['quality'] is not None and rb['quality'] is not None and \
+                abs(ra['quality'] - rb['quality']) > 0.5:
+            quality_diff.append('%s: a=%.3f b=%.3f'
+                                % (k, ra['quality'], rb['quality']))
+    out['result_diff'] = result_diff[:30]
+    out['quality_diff'] = quality_diff[:30]
+    out['order_a_applied'] = [str((r['type'], r['start'], r['end']))
+                              for r in rows_a if r['result'] == 'applied']
+    out['order_b_applied'] = [str((r['type'], r['start'], r['end']))
+                              for r in rows_b if r['result'] == 'applied']
+    out['applied_sets_equal'] = \
+        {k for k, r in ka.items() if r['result'] == 'applied'} == \
+        {k for k, r in kb.items() if r['result'] == 'applied'}
+    out['applied_order_equal'] = \
+        out['order_a_applied'] == out['order_b_applied']
+    return out
+
+
+def load_fasta_seqs(path):
+    seqs, name, parts = {}, None, []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith('>'):
+                if name is not None:
+                    seqs[name] = ''.join(parts).upper()
+                name, parts = line[1:].split()[0], []
+            elif line:
+                parts.append(line)
+    if name is not None:
+        seqs[name] = ''.join(parts).upper()
+    return seqs
+
+
+def revcomp(seq):
+    return seq.translate(str.maketrans('ACGT', 'TGCA'))[::-1]
+
+
+def rotation_match(a, b):
+    """True if a equals some rotation (or reverse-complement rotation)
+    of b."""
+    if len(a) != len(b):
+        return False
+    return a in b + b or a in revcomp(b) + revcomp(b)
+
+
+def assembly_stats(fasta):
+    seqs = load_fasta_seqs(fasta)
+    lens = sorted((len(s) for s in seqs.values()), reverse=True)
+    total = sum(lens)
+    n50, acc = 0, 0
+    for ln in lens:
+        acc += ln
+        if acc >= total / 2:
+            n50 = ln
+            break
+    return {'contigs': len(lens), 'total_bp': total, 'n50': n50,
+            'longest': lens[0] if lens else 0}
+
+
+def compare_assemblies(fa_a, fa_b):
+    a, b = load_fasta_seqs(fa_a), load_fasta_seqs(fa_b)
+    out = {'a_stats': assembly_stats(fa_a), 'b_stats': assembly_stats(fa_b)}
+    matched, unmatched_a = [], []
+    b_left = dict(b)
+    for name, seq in a.items():
+        hit = None
+        for bname, bseq in b_left.items():
+            if seq == bseq or rotation_match(seq, bseq):
+                hit = bname
+                break
+        if hit:
+            matched.append((name, hit))
+            del b_left[hit]
+        else:
+            unmatched_a.append(name)
+    out['matched_contigs'] = len(matched)
+    out['unmatched_a'] = unmatched_a[:20]
+    out['unmatched_b'] = sorted(b_left)[:20]
+    out['identical_up_to_rotation'] = not unmatched_a and not b_left
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else '/tmp/refeq'
+    os.makedirs(work, exist_ok=True)
+    if not os.path.exists(os.path.join(REFBUILD, 'unicycler',
+                                       'cpp_functions.so')):
+        raise SystemExit('reference not built at %s (see module '
+                         'docstring)' % REFBUILD)
+
+    common = ['-1', SHORT1, '-2', SHORT2, '-l', LONG, '--no_miniasm',
+              '--no_rotate', '--keep', '3', '--verbosity', '2',
+              '--threads', '4']
+
+    # Phase 1: unicycler_tpu end-to-end -> shared depth_filter GFA + SAM.
+    ours = os.path.join(work, 'ours')
+    ours_log = os.path.join(work, 'ours.log')
+    if not os.path.isfile(os.path.join(ours, 'assembly.fasta')):
+        env = dict(os.environ, PYTHONPATH=REPO)
+        run([sys.executable, '-m', 'unicycler_tpu', '-o', ours,
+             '--reference_defaults', '--bridge_rounds', '1'] + common,
+            ours_log, env=env)
+
+    shared_gfa = os.path.join(ours, '002_depth_filter.gfa')
+    shared_sam = os.path.join(ours, 'read_alignment',
+                              'long_read_alignments.sam')
+    for path in (shared_gfa, shared_sam):
+        if not os.path.isfile(path):
+            raise SystemExit('expected shared input missing: %s' % path)
+
+    # Phase 2: the ACTUAL reference, resuming from the shared inputs.
+    ref = os.path.join(work, 'ref')
+    ref_log = os.path.join(work, 'ref.log')
+    if not os.path.isfile(os.path.join(ref, 'assembly.fasta')):
+        os.makedirs(os.path.join(ref, 'read_alignment'), exist_ok=True)
+        shutil.copy(shared_gfa, os.path.join(ref, '002_depth_filter.gfa'))
+        shutil.copy(shared_sam, os.path.join(ref, 'read_alignment',
+                                             'long_read_alignments.sam'))
+        stub = make_spades_stub(work)
+        run([sys.executable,
+             os.path.join(REFBUILD, 'unicycler-runner.py'), '-o', ref,
+             '--spades_path', stub] + common, ref_log)
+
+    # Phase 3: unicycler_tpu from the same planted inputs
+    # (--short_read_graph; proves our own resume determinism too).
+    ours2 = os.path.join(work, 'ours_resume')
+    ours2_log = os.path.join(work, 'ours_resume.log')
+    if not os.path.isfile(os.path.join(ours2, 'assembly.fasta')):
+        os.makedirs(os.path.join(ours2, 'read_alignment'), exist_ok=True)
+        shutil.copy(shared_sam, os.path.join(ours2, 'read_alignment',
+                                             'long_read_alignments.sam'))
+        env = dict(os.environ, PYTHONPATH=REPO)
+        run([sys.executable, '-m', 'unicycler_tpu', '-o', ours2,
+             '--reference_defaults', '--bridge_rounds', '1',
+             '--short_read_graph', shared_gfa] + common, ours2_log,
+            env=env)
+
+    # Phase 4: comparisons.
+    def find_gfa(out_dir, tag):
+        import glob
+        hits = sorted(glob.glob(os.path.join(out_dir, '*_%s.gfa' % tag)))
+        return hits[0] if hits else None
+
+    results = {'shared_depth_filter_gfa': shared_gfa,
+               'shared_sam': shared_sam}
+
+    ours_clean = find_gfa(ours2, 'overlaps_removed')
+    ref_clean = find_gfa(ref, 'overlaps_removed')
+    results['cleaned_graph'] = compare_gfas(ours_clean, ref_clean) \
+        if ours_clean and ref_clean else 'missing checkpoint'
+
+    ours_bridged = find_gfa(ours2, 'bridges_applied')
+    ref_bridged = find_gfa(ref, 'bridges_applied')
+    results['bridged_graph'] = compare_gfas(ours_bridged, ref_bridged) \
+        if ours_bridged and ref_bridged else 'missing checkpoint'
+
+    rows_ours = parse_bridge_table(open(ours2_log).read()) \
+        if os.path.isfile(ours2_log) else []
+    rows_ref = parse_bridge_table(open(ref_log).read())
+    results['bridges'] = compare_bridges(rows_ours, rows_ref)
+
+    results['final_assembly'] = compare_assemblies(
+        os.path.join(ours2, 'assembly.fasta'),
+        os.path.join(ref, 'assembly.fasta'))
+    results['final_gfa'] = compare_gfas(
+        os.path.join(ours2, 'assembly.gfa'),
+        os.path.join(ref, 'assembly.gfa'))
+    results['resume_determinism'] = compare_assemblies(
+        os.path.join(ours, 'assembly.fasta'),
+        os.path.join(ours2, 'assembly.fasta'))
+
+    # head-to-head vs truth (contiguity target, VERDICT ask #5)
+    results['vs_truth'] = {
+        'ours': compare_assemblies(os.path.join(ours2, 'assembly.fasta'),
+                                   TRUTH),
+        'reference': compare_assemblies(os.path.join(ref,
+                                                     'assembly.fasta'),
+                                        TRUTH),
+    }
+
+    out_path = os.path.join(REPO, 'RESULTS_equivalence.json')
+    with open(out_path, 'w') as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2)[:4000])
+    print('wrote', out_path)
+
+
+if __name__ == '__main__':
+    main()

@@ -68,9 +68,16 @@ def install_reference_shim():
 
 
 def add_shim_module(name, **attrs):
-    """Register an extra unicycler.<name> submodule on the shim."""
+    """Register an extra unicycler.<name> submodule on the shim. Merges
+    into an already-registered module of the same name: several parity
+    files shim overlapping module names with different attribute subsets
+    (e.g. unicycler.alignment), and with per-case parametrisation every
+    file's shims are installed at collection time before any suite
+    runs — the union must satisfy them all."""
     pkg = install_reference_shim()
-    mod = types.ModuleType('unicycler.' + name)
+    mod = sys.modules.get('unicycler.' + name)
+    if mod is None:
+        mod = types.ModuleType('unicycler.' + name)
     for attr, val in attrs.items():
         setattr(mod, attr, val)
     setattr(pkg, name, mod)
@@ -102,8 +109,14 @@ def reference_test_dir():
     return _TEST_DIR_COPY
 
 
+_MODULE_CACHE = {}
+
+
 def load_reference_test_module(filename):
-    """Load a reference test module (from the /tmp copy)."""
+    """Load a reference test module (from the /tmp copy); cached so
+    discovery and the suite run share one import."""
+    if filename in _MODULE_CACHE:
+        return _MODULE_CACHE[filename]
     install_reference_shim()
     import os
     path = os.path.join(reference_test_dir(), filename)
@@ -111,6 +124,7 @@ def load_reference_test_module(filename):
         'ref_' + filename.replace('.py', ''), path)
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
+    _MODULE_CACHE[filename] = module
     return module
 
 
@@ -126,3 +140,79 @@ def run_reference_tests(filename, expected_failures=()):
                 result.failures + result.errors}
     unexpected = failures - set(expected_failures)
     return result, unexpected
+
+
+# --- per-case parity API (VERDICT r4 ask #6) ------------------------------
+#
+# A reference file's suite still runs ONCE (setUpClass-style sharing and
+# runtime are unchanged), but each reference test becomes an individually
+# named pytest case that reports its own traceback on regression:
+# discover_reference_test_ids() parametrises, case_outcome() asserts.
+
+_SUITE_RESULTS = {}     # filename -> {case_id: None | failure text}
+
+
+def discover_reference_test_ids(filename):
+    """'Class.method' ids of every test in a reference test file, in
+    definition order (collection-time; does not run the suite)."""
+    module = load_reference_test_module(filename)
+    suite = unittest.TestLoader().loadTestsFromModule(module)
+    ids = []
+
+    def walk(s):
+        for t in s:
+            if isinstance(t, unittest.TestSuite):
+                walk(t)
+            else:
+                ids.append(t.id().split('.', 1)[1])
+    walk(suite)
+    return ids
+
+
+class _RecordingResult(unittest.TestResult):
+    def __init__(self):
+        super().__init__()
+        self.outcomes = {}
+
+    def startTest(self, test):
+        super().startTest(test)
+        self.outcomes[test.id().split('.', 1)[1]] = None
+
+    def addFailure(self, test, err):
+        super().addFailure(test, err)
+        self.outcomes[test.id().split('.', 1)[1]] = \
+            self._exc_info_to_string(err, test)
+
+    def addError(self, test, err):
+        super().addError(test, err)
+        self.outcomes[test.id().split('.', 1)[1]] = \
+            self._exc_info_to_string(err, test)
+
+    def addSkip(self, test, reason):
+        super().addSkip(test, reason)
+        self.outcomes[test.id().split('.', 1)[1]] = 'SKIPPED: ' + reason
+
+
+def _suite_outcomes(filename):
+    if filename not in _SUITE_RESULTS:
+        module = load_reference_test_module(filename)
+        suite = unittest.TestLoader().loadTestsFromModule(module)
+        result = _RecordingResult()
+        suite.run(result)
+        _SUITE_RESULTS[filename] = result.outcomes
+    return _SUITE_RESULTS[filename]
+
+
+def case_outcome(filename, case_id):
+    """Assert one reference test case passed (the file's suite runs once
+    per pytest session; this reports the cached per-case outcome)."""
+    outcomes = _suite_outcomes(filename)
+    assert case_id in outcomes, \
+        '%s did not run case %s' % (filename, case_id)
+    failure = outcomes[case_id]
+    if failure is not None and failure.startswith('SKIPPED: '):
+        import pytest
+        pytest.skip(failure[len('SKIPPED: '):])
+    assert failure is None, \
+        'reference parity case %s::%s failed:\n%s' % (filename, case_id,
+                                                      failure)

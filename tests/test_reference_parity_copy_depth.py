@@ -1,13 +1,31 @@
-"""Parity harness: reference copy-depth tests against our implementation."""
+"""Per-case parity: reference copy-depth tests against our implementation.
 
-from tests.reference_shim import add_shim_module, run_reference_tests
+Each reference test is an individually named pytest case (VERDICT r4 #6):
+the reference file's suite runs once per session; every case asserts its
+own recorded outcome, so a regression names the exact reference test."""
+
+import pytest
+
+from tests.reference_shim import (add_shim_module, case_outcome,
+                                  discover_reference_test_ids)
+
+REF_FILE = 'test_assembly_graph_copy_depth.py'
 
 
-def test_reference_copy_depth_suite():
+def _install_shims():
     from unicycler_tpu.graph import copy_depth
     add_shim_module('assembly_graph_copy_depth',
                     determine_copy_depth=copy_depth.determine_copy_depth)
-    result, unexpected = run_reference_tests(
-        'test_assembly_graph_copy_depth.py')
-    assert result.testsRun >= 3
-    assert not unexpected, 'unexpected failures: %r' % sorted(unexpected)
+
+
+_install_shims()
+CASES = discover_reference_test_ids(REF_FILE)
+
+
+def test_copy_depth_cases_discovered():
+    assert len(CASES) >= 3, CASES
+
+
+@pytest.mark.parametrize('case_id', CASES)
+def test_copy_depth(case_id):
+    case_outcome(REF_FILE, case_id)

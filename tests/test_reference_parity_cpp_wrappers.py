@@ -1,15 +1,23 @@
-"""Parity harness: the reference's ctypes-layer tests against our
+"""Per-case parity: the reference's ctypes-layer tests against our
 device-kernel compat surface (exact raw scores for known mutations,
-banded-alignment semantics, MSA consensus recovery)."""
+banded-alignment semantics, MSA consensus recovery).
 
-from tests.reference_shim import add_shim_module, run_reference_tests
+Each reference test is an individually named pytest case (VERDICT r4 #6):
+the reference file's suite runs once per session; every case asserts its
+own recorded outcome, so a regression names the exact reference test."""
+
+import pytest
+
+from tests.reference_shim import (add_shim_module, case_outcome,
+                                  discover_reference_test_ids)
+
+REF_FILE = 'test_cpp_wrappers.py'
 
 
-def test_reference_cpp_wrappers_suite():
+def _install_shims():
     from unicycler_tpu.align import compat
     from unicycler_tpu.align.scoring import AlignmentScoringScheme
     from unicycler_tpu.io import fastx
-
     add_shim_module('cpp_wrappers',
                     fully_global_alignment=compat.fully_global_alignment,
                     path_alignment=compat.path_alignment,
@@ -25,6 +33,16 @@ def test_reference_cpp_wrappers_suite():
                     Read=fastx.Read, Reference=fastx.Reference)
     add_shim_module('alignment',
                     AlignmentScoringScheme=AlignmentScoringScheme)
-    result, unexpected = run_reference_tests('test_cpp_wrappers.py')
-    assert result.testsRun >= 20
-    assert not unexpected, 'unexpected failures: %r' % sorted(unexpected)
+
+
+_install_shims()
+CASES = discover_reference_test_ids(REF_FILE)
+
+
+def test_cpp_wrappers_cases_discovered():
+    assert len(CASES) >= 20, CASES
+
+
+@pytest.mark.parametrize('case_id', CASES)
+def test_cpp_wrappers(case_id):
+    case_outcome(REF_FILE, case_id)

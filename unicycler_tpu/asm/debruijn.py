@@ -473,6 +473,12 @@ def thread_sequence_through(seq, seqs, fwd, concat, starts, sig_at, k):
         gi = bisect.bisect_right(starts, pos) - 1
         hits.append((sig_at[gi], pos - starts[gi]))
         pos = concat.find(anchor, pos + 1)
+    if pos >= 0:
+        # A 6th+ anchor occurrence exists beyond the collection cap. A
+        # partial hit list could yield a false-unique walk, which
+        # split_repeats_with_threads would treat as a conflict-free
+        # witness — so treat the anchor as ambiguous instead.
+        return None
     threads = []
     for start_sig, start_off in hits:
         path = [start_sig]
@@ -1236,6 +1242,8 @@ def build_best_short_read_graph(args):
     unitigs, links, n_hk_split, n_split = resolve_repeats(
         unitigs, links, hk_segments, pairs_1, pairs_2, k, insert_mean,
         insert_dev, tmp_gfa, args.depth_filter, args.largest_component)
+    if os.path.exists(tmp_gfa):        # simplify_unitigs recreates it
+        os.remove(tmp_gfa)
     paths = resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
                                      insert_mean, insert_dev)
     hk_paths = resolve_paths_with_higher_k(unitigs, links, hk_segments, k)

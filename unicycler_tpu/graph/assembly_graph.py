@@ -59,9 +59,14 @@ class AssemblyGraph(object):
         self.overlap = overlap
         self.insert_size_mean = insert_size_mean
         self.insert_size_deviation = insert_size_deviation
-        self.load_from_gfa(filename)
-        if not overlap:
-            self.overlap = get_overlap_from_gfa_link(filename)
+        if filename.endswith('.fastg'):
+            self.load_from_fastg(filename)
+            if not overlap:
+                self.overlap = self._infer_fastg_overlap()
+        else:
+            self.load_from_gfa(filename)
+            if not overlap:
+                self.overlap = get_overlap_from_gfa_link(filename)
 
     # ------------------------------------------------------------------
     # GFA IO (ref assembly_graph.py:64-117, 238-314)
@@ -106,6 +111,97 @@ class AssemblyGraph(object):
                             for x in parts[2].split(',')]
                     if len(segs) > 1:
                         self.paths[parts[1]] = segs
+
+    def load_from_fastg(self, filename):
+        """SPAdes FASTG ingestion (header grammar of ref
+        assembly_graph.py:2374-2463): EDGE headers carry segment number,
+        depth and outgoing links; a sibling SPAdes paths file
+        (`<name>.paths` or `contigs.paths`) supplies the contig paths
+        the spades-contig bridges consume. The GFA fixture converted
+        from the same assembly pins equivalence
+        (tests/test_fastg_ingest.py)."""
+        from .gfa import (get_depth_from_header, get_links_from_header,
+                          get_signed_number_from_header)
+        headers = []
+        header, seq_parts = None, []
+        with open(filename, 'rt') as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if line[0] == '>':
+                    if header is not None:
+                        headers.append((header, ''.join(seq_parts)))
+                    header, seq_parts = line[1:], []
+                else:
+                    seq_parts.append(line)
+        if header is not None:
+            headers.append((header, ''.join(seq_parts)))
+        for header, seq in headers:
+            num = get_signed_number_from_header(header)
+            if abs(num) in self.segments:
+                continue
+            seg = Segment(abs(num), get_depth_from_header(header), seq,
+                          num > 0)
+            seg.build_other_sequence_if_necessary()
+            self.segments[abs(num)] = seg
+        for header, _ in headers:
+            start, ends = get_links_from_header(header)
+            for end in ends:
+                links = self.forward_links.setdefault(start, [])
+                if end not in links:
+                    links.append(end)
+        self.forward_links = build_rc_links_if_necessary(self.forward_links)
+        self.reverse_links = build_reverse_links(self.forward_links)
+        self.sort_link_order()
+        for paths_file in (filename + '.paths',
+                           os.path.join(os.path.dirname(filename) or '.',
+                                        'contigs.paths')):
+            if os.path.isfile(paths_file):
+                self.load_spades_paths(paths_file)
+                break
+
+    def load_spades_paths(self, paths_filename):
+        """SPAdes contigs.paths: alternating name line / comma-separated
+        signed-edge line; reverse-strand entries (name ending with ')
+        are skipped; scaffold gaps (';') split the path into suffixed
+        pieces, the naming save_to_gfa uses for split paths."""
+        with open(paths_filename, 'rt') as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        for name_line, path_line in zip(lines[::2], lines[1::2]):
+            if name_line.endswith("'"):
+                continue
+            pieces = [p for p in path_line.split(';') if p]
+            for i, piece in enumerate(pieces):
+                name = name_line if len(pieces) == 1 \
+                    else '%s_%d' % (name_line, i + 1)
+                segs = [signed_string_to_int(x) for x in piece.split(',')]
+                if len(segs) > 1:
+                    self.paths[name] = segs
+
+    def _infer_fastg_overlap(self):
+        """FASTG states no overlap size; SPAdes graphs use a uniform
+        k-1 overlap baked into the edge sequences. Infer it as the
+        largest size on which every link's end-of-start equals
+        start-of-end (0 when the graph has no links)."""
+        pairs = [(s, e) for s, ends in self.forward_links.items()
+                 for e in ends]
+        if not pairs:
+            return 0
+        max_o = min(min(self.seq_from_signed_seg_num(s).__len__(),
+                        self.seq_from_signed_seg_num(e).__len__())
+                    for s, e in pairs) - 1
+        max_o = min(max_o, 1000)
+        for o in range(max_o, 0, -1):
+            ok = True
+            for s, e in pairs:
+                if self.seq_from_signed_seg_num(s)[-o:] != \
+                        self.seq_from_signed_seg_num(e)[:o]:
+                    ok = False
+                    break
+            if ok:
+                return o
+        return 0
 
     def save_to_gfa(self, filename, verbosity=1, save_copy_depth_info=False,
                     save_seg_type_info=False, newline=False,

@@ -182,10 +182,13 @@ def native_window_ranges_bounded(ck, lo0, hi0, qck, lo_add, hi_add):
 
 def native_sketch(codes, k, w):
     """Native (w,k)-minimiser sketch; returns (hashes uint64, pos int32,
-    strand int8) or None if the library is unavailable. Semantics are
-    pinned against ops/minimizer.sketch by tests/test_minimizer.py."""
+    strand int8) or None if the library is unavailable or k >= 32.
+    Semantics are pinned against ops/minimizer.sketch by
+    tests/test_native_seed.py (fuzz) and tests/test_minimizer_batch.py."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or k >= 32:
+        # sketch.cpp's 2-bit rolling representation holds k bases in one
+        # uint64 only for k <= 31; its revcomp shift is UB at k >= 32.
         return None
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     n = len(codes)

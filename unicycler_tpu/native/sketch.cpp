@@ -1,7 +1,7 @@
 // Native (w,k)-minimiser sketch — the host seeding hot loop.
 //
 // Exact semantics of ops/minimizer.sketch (which remains the oracle in
-// tests/test_minimizer.py): canonical strand-aware k-mer hashing
+// tests/test_native_seed.py, tests/test_minimizer_batch.py): canonical strand-aware k-mer hashing
 // (thomas-wang 64-bit mix masked to 2k bits), leftmost argmin of every
 // length-w window via a monotonic deque, consecutive-duplicate
 // collapse, invalid/palindromic k-mers excluded. The numpy formulation

@@ -69,7 +69,8 @@ def sketch(codes: np.ndarray, k: int, w: int) -> Minimizers:
     canonical strand-aware k-mer hashing, window minima, no duplicates for
     strand-ambiguous k-mers). Native single-pass implementation
     (native/sketch.cpp) when available; this numpy formulation is the
-    semantic oracle it is pinned against (tests/test_minimizer.py)."""
+    semantic oracle it is pinned against (tests/test_native_seed.py
+    fuzz; batch sketching in tests/test_minimizer_batch.py)."""
     if k < 32:
         from ..native import native_sketch
         nat = native_sketch(codes, k, w)

@@ -147,8 +147,9 @@ def get_arguments(args=None):
                                  'component of the assembly graph'))
     spades.add_argument('--short_read_graph', default=None,
                         help=ext('Existing short-read assembly graph '
-                                 '(GFA, e.g. from SPAdes) to use instead '
-                                 'of the built-in assembler'))
+                                 '(GFA, or SPAdes FASTG with a sibling '
+                                 '.paths file) to use instead of the '
+                                 'built-in assembler'))
 
     miniasm = parser.add_argument_group('miniasm+Racon assembly options')
     miniasm.add_argument('--no_miniasm', action='store_true',
