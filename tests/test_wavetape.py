@@ -258,3 +258,48 @@ def test_wavetape_perfect_and_tiny():
     assert got[0].cigar == [(256, 'M')]
     assert (got[0].s1_start, got[0].s2_start) == (0, 37)
     assert got[1].score == 3
+
+
+@pytest.mark.parametrize('config', [SEMI_GLOBAL, FULLY_GLOBAL],
+                         ids=['semi', 'global'])
+def test_packed_entry_matches_unpacked(config):
+    """The packed-buffer twins (2 uploads per launch instead of ~14)
+    must be bit-identical to the unpacked entry points."""
+    import jax.numpy as jnp
+    from unicycler_tpu.ops import banded as banded_ops
+    from unicycler_tpu.ops.wavetape import (G, build_wavetapes,
+                                            pack_launch_inputs)
+    from unicycler_tpu.ops.pallas_wavetape import (
+        wavetape_forward, wavetape_forward_packed,
+        wavetape_with_traceback, wavetape_with_traceback_packed)
+
+    rng = np.random.default_rng(23)
+    tasks = _tasks(rng, [180, 333, 90], straight=False)
+    W = 128
+    launches = build_wavetapes(tasks, W, banded_ops.build_corridor)
+    for tp in launches:
+        segA = tp.seg_g * G
+        lenA = np.where(tp.n_t > 0, (tp.lastg - tp.seg_g + 1) * G, 0)
+        bytes_buf, ints_buf, geom = pack_launch_inputs(tp, segA, lenA)
+        args = (tp.q_tape, tp.r_flat, tp.adv8, tp.gflags, tp.n_t,
+                tp.m_t, tp.r_base, tp.rowbase, tp.dbase0, tp.a0,
+                tp.seg_g, tp.lastg)
+        ref_fwd = wavetape_forward(*args, scoring=SCORING, config=config,
+                                   W=W, need_moves=False, interpret=True)
+        got_fwd = wavetape_forward_packed(bytes_buf, ints_buf, geom,
+                                          scoring=SCORING, config=config,
+                                          W=W, need_moves=False,
+                                          interpret=True)
+        for a, b in zip(ref_fwd[:3], got_fwd[:3]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        ref_tb = wavetape_with_traceback(
+            *args, tp.abase, tp.n_tasks, scoring=SCORING, config=config,
+            W=W, interpret=True)
+        got_tb = wavetape_with_traceback_packed(
+            bytes_buf, ints_buf, geom, scoring=SCORING, config=config,
+            W=W, interpret=True)
+        for a, b in zip(ref_tb, got_tb[:5]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(got_tb[5]), segA)
+        np.testing.assert_array_equal(np.asarray(got_tb[6]), lenA)

@@ -109,6 +109,30 @@ def _dump_seed_debug(debug_dir, read, level, clusters):
                 f.write('%d\t%d\t%d\n' % (ci, int(rp), int(fp)))
 
 
+_SEED_POOL = None
+
+
+def _seed_pool():
+    """Shared seeding executor (created on first use, reused across
+    align_jobs calls; worker count via UNICYCLER_TPU_SEED_THREADS)."""
+    global _SEED_POOL
+    if _SEED_POOL is None:
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+        n = max(1, int(_os.environ.get('UNICYCLER_TPU_SEED_THREADS', '3')))
+        _SEED_POOL = ThreadPoolExecutor(max_workers=n)
+    return _SEED_POOL
+
+
+# Row thresholds for pipelined chunk dispatch: the i-th dispatched chunk
+# (across all jobs) flushes at the i-th entry's DP-row count (last entry
+# repeats). Small early chunks start the device promptly; later chunks
+# stay LARGE because every extra launch pays ~47 ms of fixed
+# dispatch/upload tax through the tunnelled device (round-5 decompose
+# measurements), which outweighs finer seeding overlap.
+_CHUNK_THRESHOLDS = (80_000, 150_000, 250_000)
+
+
 class _Task(object):
     """One (read, strand, reference window) banded-alignment task."""
     __slots__ = ('read', 'ref', 'rev_comp', 'window_start', 'banded')
@@ -308,7 +332,8 @@ def _dispatch_job_device(job, walk_state):
         # costs one extra dispatch (~10 ms) and buys that overlap.
         def chunk_threshold():
             n = len(walk_state.handles)
-            return (80_000, 150_000)[n] if n < 2 else 250_000
+            seq = _CHUNK_THRESHOLDS
+            return seq[n] if n < len(seq) else seq[-1]
         live_reads.sort(key=lambda r: -r.get_length())
         level_chunks = []
         chunk_tasks: List[_Task] = []
@@ -319,7 +344,8 @@ def _dispatch_job_device(job, walk_state):
                 h = banded_ops.align_banded_async(
                     [t.banded for t in chunk_tasks], job.scoring,
                     config=pw.SEMI_GLOBAL, band=band,
-                    need_cigar=True, two_phase=True)
+                    need_cigar=True,
+                    two_phase=banded_ops._two_phase_profitable())
                 level_chunks.append((chunk_tasks[:], h))
                 walk_state.add(chunk_tasks[:], h)
                 if len(walk_state.handles) >= 2:
@@ -332,11 +358,9 @@ def _dispatch_job_device(job, walk_state):
         # release the GIL, so 3 workers cut the ~0.3 s/iteration of
         # host seeding that sits on the critical path before the first
         # dispatch. Results are consumed IN ORDER so chunk packing and
-        # dispatch order stay deterministic.
-        from concurrent.futures import ThreadPoolExecutor
-        import os as _os
-        n_workers = int(_os.environ.get('UNICYCLER_TPU_SEED_THREADS', '3'))
-
+        # dispatch order stay deterministic. The pool is a persistent
+        # module-level executor: per-call create/shutdown measured
+        # ~0.1 s/iteration of thread-join wall on the bench profile.
         def seed_one(read):
             clusters = index.lookup(read.codes)
             if job.debug_dir is not None:
@@ -344,18 +368,18 @@ def _dispatch_job_device(job, walk_state):
             return _make_tasks(read, job.references,
                                clusters[:max_traces], band)
 
-        with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
-            futures = [pool.submit(seed_one, read) for read in live_reads]
-            for fut in futures:
-                with trace.span('seed_and_tasks'):
-                    new_tasks = fut.result()
-                chunk_tasks.extend(new_tasks)
-                chunk_rows += sum(len(t.banded.q) for t in new_tasks)
-                if chunk_rows >= chunk_threshold():
-                    flush_chunk()
-                    chunk_rows = 0
-                elif len(walk_state.handles) > walk_state.cursor:
-                    walk_state.start_ready()
+        pool = _seed_pool()
+        futures = [pool.submit(seed_one, read) for read in live_reads]
+        for fut in futures:
+            with trace.span('seed_and_tasks'):
+                new_tasks = fut.result()
+            chunk_tasks.extend(new_tasks)
+            chunk_rows += sum(len(t.banded.q) for t in new_tasks)
+            if chunk_rows >= chunk_threshold():
+                flush_chunk()
+                chunk_rows = 0
+            elif len(walk_state.handles) > walk_state.cursor:
+                walk_state.start_ready()
         if chunk_tasks:
             flush_chunk()
         job._levels.append((level, band, level_chunks))
@@ -428,7 +452,13 @@ def _build_refine(job):
 
 
 def _apply_refined(job, refine_alignments, refined):
+    from ..utils import trace
     for alignment, pa2 in zip(refine_alignments, refined):
+        trace.add('refine.tasks')
+        trace.add('refine.rows', len(alignment._task.banded.q))
+        if pa2.score > alignment._pair.score:
+            trace.add('refine.improved')
+            trace.add('refine.gain', pa2.score - alignment._pair.score)
         if pa2.score > alignment._pair.score:
             task = alignment._task
             better = Alignment(read=task.read, ref=task.ref,
@@ -494,12 +524,16 @@ def align_jobs(jobs):
         r_acc.extend(res)
     refine_pend = []
     for job in jobs:
-        for level, band, level_chunks in job._levels:
-            t_acc, r_acc = by_job.get(id(job), {}).get(level, ([], []))
-            _decode_job_level(job, band, t_acc, r_acc)
-        for read in job.reads:
-            read.remove_conflicting_alignments(job.allowed_overlap)
-        refine_alignments, refine_tasks, refine_band = _build_refine(job)
+        with trace.span('decode_level'):
+            for level, band, level_chunks in job._levels:
+                t_acc, r_acc = by_job.get(id(job), {}).get(level, ([], []))
+                _decode_job_level(job, band, t_acc, r_acc)
+        with trace.span('conflict_filter'):
+            for read in job.reads:
+                read.remove_conflicting_alignments(job.allowed_overlap)
+        with trace.span('build_refine'):
+            refine_alignments, refine_tasks, refine_band = \
+                _build_refine(job)
         if refine_tasks:
             with trace.span('refine_dispatch'):
                 h = banded_ops.align_banded_async(

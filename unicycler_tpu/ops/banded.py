@@ -621,6 +621,14 @@ def _sparse_cap(walk_rows, records):
     return min(b, records.shape[0] * records.shape[1])   # costs bytes
 
 
+# q2/r2 repeat-2 lane-tape VMEM residency budget for one wave launch;
+# v5e VMEM is 128 MB/core, and the kernel's working set beyond the tapes
+# (metadata planes, moves block, carry registers) is a few MB, so this
+# can sit well above the conservative 6 MB it started at. Launches over
+# budget fall back to the row kernels.
+WAVE_VMEM_BUDGET = 6 << 20
+
+
 def use_wavetape(W):
     """True when align_banded's tape path should use the anti-diagonal
     WAVEFRONT kernels (ops/pallas_wavetape) instead of the row kernels:
@@ -649,7 +657,7 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
     # VMEM residents; a launch whose tapes exceed the budget (giant
     # reference windows) routes to the row kernels instead.
     if any(2 * tp.q_tape.shape[0] * (tp.LR + tp.r_flat.shape[1])
-           > (6 << 20) for tp in launches):
+           > WAVE_VMEM_BUDGET for tp in launches):
         trace.add('wave.vmem_fallback')
         return None
     put = (lambda x: jax.device_put(x, device)) if device is not None \
@@ -662,16 +670,16 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
         trace.add('wave.launches')
         trace.add('wave.groups', tp.NG_real)
         trace.add('wave.groups.W%d.bt%d' % (W, tp.q_tape.shape[0]), tp.NG)
-        per_task = tuple(put(a) for a in
-                         (tp.n_t, tp.m_t, tp.r_base, tp.rowbase,
-                          tp.dbase0, tp.a0, tp.seg_g, tp.lastg))
-        main_in = (put(tp.q_tape), put(tp.r_flat), put(tp.adv8),
-                   put(tp.gflags))
-        abase_dev = put(tp.abase)
-        n_tasks_dev = put(tp.n_tasks)
         segA = tp.seg_g * WG
         lenA = np.where(tp.n_t > 0, (tp.lastg - tp.seg_g + 1) * WG, 0)
         if need_cigar and two_phase:
+            per_task = tuple(put(a) for a in
+                             (tp.n_t, tp.m_t, tp.r_base, tp.rowbase,
+                              tp.dbase0, tp.a0, tp.seg_g, tp.lastg))
+            main_in = (put(tp.q_tape), put(tp.r_flat), put(tp.adv8),
+                       put(tp.gflags))
+            abase_dev = put(tp.abase)
+            n_tasks_dev = put(tp.n_tasks)
             score, end_i, end_j, moves, db_rows = wavetape_forward(
                 *main_in, *per_task,
                 scoring=scoring, config=config, W=W, need_moves=True,
@@ -695,21 +703,28 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
 
             pending.append((tp, [score, end_i, end_j], ('fwd2', walk)))
         elif need_cigar:
-            score, end_i, end_j, records, fin = wavetape_with_traceback(
-                *main_in, *per_task, abase_dev, n_tasks_dev,
-                scoring=scoring, config=config, W=W, interpret=interpret)
+            from .pallas_wavetape import wavetape_with_traceback_packed
+            from .wavetape import pack_launch_inputs
+            bytes_buf, ints_buf, geom = pack_launch_inputs(tp, segA, lenA)
+            score, end_i, end_j, records, fin, segA_dev, lenA_dev = \
+                wavetape_with_traceback_packed(
+                    put(bytes_buf), put(ints_buf), geom, scoring=scoring,
+                    config=config, W=W, interpret=interpret)
             cap = _sparse_cap(int(tp.n_t[tp.n_t > 0].sum()), records)
             nnz, idx, vals = compress_records(
-                records, cap, segments=(put(segA), put(lenA)))
+                records, cap, segments=(segA_dev, lenA_dev))
             # wave record values fit 8 bits (run split at 63): one
             # packed int32 per event halves the records fetch
             packed = (idx << 8) | (vals & 0xFF)
             dev = [score, end_i, end_j, nnz, packed, jnp.ravel(fin)]
             pending.append((tp, dev, (cap, records)))
         else:
-            score, end_i, end_j, _, _ = wavetape_forward(
-                *main_in, *per_task,
-                scoring=scoring, config=config, W=W, need_moves=False,
+            from .pallas_wavetape import wavetape_forward_packed
+            from .wavetape import pack_launch_inputs
+            bytes_buf, ints_buf, geom = pack_launch_inputs(tp, segA, lenA)
+            score, end_i, end_j, _, _ = wavetape_forward_packed(
+                put(bytes_buf), put(ints_buf), geom, scoring=scoring,
+                config=config, W=W, need_moves=False,
                 interpret=interpret)
             pending.append((tp, [score, end_i, end_j], None))
     return pending
@@ -1245,6 +1260,18 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config,
     from .pallas_wavetape import wave_records_to_cigar
     from ..utils import trace
     retry = []
+    with trace.span('tape_decode'):
+        _tape_decode_inner(results, live, pending, grouped, need_cigar,
+                           config, keep_masks, retry,
+                           records_to_cigar, wave_records_to_cigar, trace)
+    if retry:
+        trace.add('tape.retry', len(retry))
+    return retry
+
+
+def _tape_decode_inner(results, live, pending, grouped, need_cigar, config,
+                       keep_masks, retry, records_to_cigar,
+                       wave_records_to_cigar, trace):
     for li, ((tp, dev, extra), parts) in enumerate(zip(pending, grouped)):
         is_wave = hasattr(tp, 'abase')
         score, end_i, end_j = parts[0], parts[1], parts[2]
@@ -1323,7 +1350,6 @@ def _tape_decode(results, live, pending, grouped, need_cigar, config,
                 results[gi] = PairAlignment(
                     score=sc, s1_start=si, s1_end=ei, s2_start=sj,
                     s2_end=ej, cigar=cigar, s1_len=n_act, s2_len=m_act)
-    return retry
 
 
 def _align_banded_moves_path(task_list, scoring, config, W, need_cigar):

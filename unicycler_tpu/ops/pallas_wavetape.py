@@ -762,3 +762,79 @@ def wave_records_to_cigar(records_row, abase, end_i, end_j, final_i,
         merged_types = np.zeros(0, np.int8)
     from .pairwise import RunCigar
     return RunCigar(merged_counts, merged_types), start_i, start_j
+
+
+# --- packed-input twins -----------------------------------------------------
+#
+# Through a tunnelled device every separately-uploaded jit argument pays
+# its own transfer round trip (round-5 measurement: ten small
+# device_puts ~10x one stacked upload of the same bytes), and one launch
+# has ~14 input arrays. These twins take TWO flat buffers built by
+# wavetape.pack_launch_inputs and unpack with static slices inside the
+# jit — the kernels and their outputs are bit-identical to the unpacked
+# entry points (pinned by tests/test_wavetape.py::test_packed_entry).
+
+def _unpack_launch(bytes_buf, ints_buf, geom):
+    B, LR, M, NG, TT = geom
+    off = 0
+
+    def take_bytes(count, shape):
+        nonlocal off
+        a = bytes_buf[off:off + count].reshape(shape)
+        off += count
+        return a
+
+    q_tape = take_bytes(B * LR, (B, LR))
+    r_flat = jax.lax.bitcast_convert_type(
+        take_bytes(B * M, (B, M)), jnp.int8)
+    adv8 = jax.lax.bitcast_convert_type(
+        take_bytes(B * NG, (B, NG)), jnp.int8)
+    gflags = take_bytes(B * NG, (B, NG))
+
+    ioff = 0
+
+    def take_ints(shape):
+        nonlocal ioff
+        count = int(np.prod(shape))
+        a = ints_buf[ioff:ioff + count].reshape(shape)
+        ioff += count
+        return a
+
+    (n_t, m_t, r_base, rowbase, dbase0, a0, seg_g, lastg, abase, segA,
+     lenA) = (take_ints((B, TT)) for _ in range(11))
+    n_tasks = take_ints((B,))
+    return (q_tape, r_flat, adv8, gflags, n_t, m_t, r_base, rowbase,
+            dbase0, a0, seg_g, lastg, abase, segA, lenA, n_tasks)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('geom', 'scoring', 'config', 'W', 'need_moves',
+                     'interpret'))
+def wavetape_forward_packed(bytes_buf, ints_buf, geom, scoring, config,
+                            W, need_moves, interpret=False):
+    (q_tape, r_flat, adv8, gflags, n_t, m_t, r_base, rowbase, dbase0,
+     a0, seg_g, lastg, _abase, _segA, _lenA, _n_tasks) = \
+        _unpack_launch(bytes_buf, ints_buf, geom)
+    return wavetape_forward(q_tape, r_flat, adv8, gflags, n_t, m_t,
+                            r_base, rowbase, dbase0, a0, seg_g, lastg,
+                            scoring=scoring, config=config, W=W,
+                            need_moves=need_moves, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('geom', 'scoring', 'config', 'W',
+                              'interpret'))
+def wavetape_with_traceback_packed(bytes_buf, ints_buf, geom, scoring,
+                                   config, W, interpret=False):
+    """Forward + chained traceback from packed buffers. Also returns the
+    device-resident (segA, lenA) slices for compress_records, so the
+    caller uploads nothing else."""
+    (q_tape, r_flat, adv8, gflags, n_t, m_t, r_base, rowbase, dbase0,
+     a0, seg_g, lastg, abase, segA, lenA, n_tasks) = \
+        _unpack_launch(bytes_buf, ints_buf, geom)
+    score, end_i, end_j, records, fin = wavetape_with_traceback(
+        q_tape, r_flat, adv8, gflags, n_t, m_t, r_base, rowbase, dbase0,
+        a0, seg_g, lastg, abase, n_tasks, scoring=scoring, config=config,
+        W=W, interpret=interpret)
+    return score, end_i, end_j, records, fin, segA, lenA

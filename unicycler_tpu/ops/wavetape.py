@@ -42,6 +42,7 @@ from .encode import Q_PAD, R_PAD
 from .tape import _bucket_geom, _bucket_pow2, choose_bt
 
 G = 32                  # wavefronts per group (kernel unroll unit)
+G_CAP_FACTOR = 2        # per-launch group budget multiplier (see g_cap)
 
 # global pads so device window loads never leave the arrays: q windows
 # reach ~(W + G)/2 rows past either task edge, r windows ~W/2 + G
@@ -116,10 +117,15 @@ def build_wavetapes(tasks, W, build_corridor) -> List[WaveLaunch]:
 
     order = sorted(range(len(tasks)), key=lambda i: -metas[i][4])
     # row cap per launch: bounds the (bt, LA/8, W) moves intermediate
-    # (HBM) and the per-launch records fetch, mirroring tape.build_tapes
+    # (HBM) and the per-launch records fetch, mirroring tape.build_tapes.
+    # Every extra launch costs ~47 ms of fixed dispatch/executable tax
+    # through the tunnelled device (scripts/decompose_fetch, round 5),
+    # so the cap is sized to fit the bench-scale workload in ONE launch;
+    # the moves intermediate stays well under the HBM budget.
     bt = choose_bt([metas[i][4] * G for i in order])
     from .tape import L_CAP
-    g_cap = max(64, (2 * L_CAP) * 256 * 8 // (W * bt) // G // 16 * 16)
+    g_cap = max(64, (G_CAP_FACTOR * L_CAP) * 256 * 8
+                // (W * bt) // G // 16 * 16)
 
     launches = []
     remaining = order
@@ -225,3 +231,31 @@ def _build_one(tasks, metas, assign, NG_real, W, bt) -> WaveLaunch:
     return WaveLaunch(q_tape=q_tape, r_flat=r_flat, adv8=adv8,
                       gflags=gflags, n_tasks=n_tasks, NG=NG,
                       NG_real=NG_real, TT=TT, LR=LR, **per)
+
+
+def pack_launch_inputs(tp: WaveLaunch, segA, lenA):
+    """Concatenate one launch's kernel inputs into TWO flat buffers
+    (uint8 bytes + int32 words).
+
+    Through the tunnelled device every separately-uploaded array pays
+    its own transfer round trip (measured round 5: ten small
+    device_puts cost ~10x one stacked upload of the same bytes), and a
+    launch has ~14 input arrays — so the per-launch fixed cost was
+    upload-RPC-bound. The packed twin entry points in pallas_wavetape
+    unpack with static slices, so kernel code and results are
+    unchanged. Geometry tuple (B, LR, M, NG, TT) keys the jit cache the
+    same way the unpacked arrays' shapes did."""
+    bytes_buf = np.concatenate([
+        tp.q_tape.reshape(-1),
+        tp.r_flat.view(np.uint8).reshape(-1),
+        tp.adv8.view(np.uint8).reshape(-1),
+        tp.gflags.reshape(-1),
+    ])
+    ints = [tp.n_t, tp.m_t, tp.r_base, tp.rowbase, tp.dbase0, tp.a0,
+            tp.seg_g, tp.lastg, tp.abase, segA, lenA]
+    ints_buf = np.concatenate(
+        [np.ascontiguousarray(a, np.int32).reshape(-1) for a in ints]
+        + [np.ascontiguousarray(tp.n_tasks, np.int32).reshape(-1)])
+    geom = (tp.q_tape.shape[0], tp.q_tape.shape[1], tp.r_flat.shape[1],
+            tp.adv8.shape[1], tp.n_t.shape[1])
+    return bytes_buf, ints_buf, geom
