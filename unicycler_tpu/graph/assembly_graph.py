@@ -1143,7 +1143,13 @@ class AssemblyGraph(object):
         applied_bridges = []
         sorted_bridges = sorted(bridges, reverse=True,
                                 key=lambda x: (x.get_type_score(), x.quality))
+        # Verbosity 1 lists applied bridges; higher verbosity lists EVERY
+        # candidate with a Result column (applied/rejected/unused), the
+        # reference's table contract (ref assembly_graph.py:1139-1210) —
+        # the reference-equivalence harness diffs these rows.
         table = [['Bridge type', 'Start -> end', 'Path', 'Quality']]
+        if verbosity > 1:
+            table[0].append('Result')
         for bridge in sorted_bridges:
             can_use = self.start_end_available_to_bridge(
                 bridge.start_segment, bridge.end_segment, right_bridged,
@@ -1175,15 +1181,23 @@ class AssemblyGraph(object):
                    + str(bridge.end_segment),
                    ', '.join(str(x) for x in bridge.graph_path),
                    '%.3f' % bridge.quality]
-            if can_use and bridge.quality >= min_bridge_qual:
-                self.apply_bridge(bridge, right_bridged, left_bridged,
-                                  seg_nums_used_in_bridges)
-                seg_nums_used_in_bridges = remove_dupes_preserve_order(
-                    seg_nums_used_in_bridges)
-                applied_bridges.append(bridge)
-                table.append(row)
+            if can_use:
+                if bridge.quality >= min_bridge_qual:
+                    self.apply_bridge(bridge, right_bridged, left_bridged,
+                                      seg_nums_used_in_bridges)
+                    seg_nums_used_in_bridges = remove_dupes_preserve_order(
+                        seg_nums_used_in_bridges)
+                    applied_bridges.append(bridge)
+                    if verbosity > 1:
+                        row.append('applied')
+                    table.append(row)
+                elif verbosity > 1:
+                    table.append(row + ['rejected'])
+            elif verbosity > 1:
+                table.append(row + ['unused'])
         if verbosity > 0:
-            print_table(table, alignments='LLLR', indent=0,
+            print_table(table, alignments='LLLRR', indent=0,
+                        max_col_width=40, wrap_cells=True,
                         out=lambda s: log.log(s, 1))
         return set(seg_nums_used_in_bridges)
 

@@ -385,8 +385,13 @@ def spades_status_from_version(version):
 # ---------------------------------------------------------------------------
 
 def print_table(table, alignments='', max_col_width=30, col_separation=2,
-                indent=2, header=True, out=print):
-    """Fixed-width text table. `alignments` is a string of L/R per column."""
+                indent=2, header=True, out=print, wrap_cells=False):
+    """Fixed-width text table. `alignments` is a string of L/R per column.
+    Over-width cells are shortened with '...' by default; with
+    wrap_cells=True they wrap onto continuation lines instead (the
+    reference's table behavior, ref misc.py:551-648 — the bridge
+    application table relies on it so full graph paths stay
+    reconstructable from logs)."""
     if not table:
         return
     num_cols = max(len(row) for row in table)
@@ -397,14 +402,26 @@ def print_table(table, alignments='', max_col_width=30, col_separation=2,
     aligns = (alignments + 'L' * num_cols)[:num_cols]
     lines = []
     for r, row in enumerate(table):
-        cells = []
+        cell_lines = []
         for i in range(num_cols):
             cell = str(row[i]) if i < len(row) else ''
-            cell = textwrap.shorten(cell, width=max_col_width, placeholder='...') \
-                if len(cell) > max_col_width else cell
-            cells.append(cell.rjust(col_widths[i]) if aligns[i] == 'R'
-                         else cell.ljust(col_widths[i]))
-        lines.append(' ' * indent + (' ' * col_separation).join(cells).rstrip())
+            if len(cell) > max_col_width:
+                if wrap_cells:
+                    cell_lines.append(textwrap.wrap(cell, max_col_width)
+                                      or [''])
+                else:
+                    cell_lines.append([textwrap.shorten(
+                        cell, width=max_col_width, placeholder='...')])
+            else:
+                cell_lines.append([cell])
+        for sub in range(max(len(c) for c in cell_lines)):
+            cells = []
+            for i in range(num_cols):
+                cell = cell_lines[i][sub] if sub < len(cell_lines[i]) else ''
+                cells.append(cell.rjust(col_widths[i]) if aligns[i] == 'R'
+                             else cell.ljust(col_widths[i]))
+            lines.append(' ' * indent
+                         + (' ' * col_separation).join(cells).rstrip())
         if r == 0 and header:
             lines.append(' ' * indent + '-' * (sum(col_widths)
                                                + col_separation * (num_cols - 1)))
