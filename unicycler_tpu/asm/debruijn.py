@@ -469,15 +469,20 @@ def thread_sequence_through(seq, seqs, fwd, concat, starts, sig_at, k):
     anchor = seq[:o]
     hits = []
     pos = concat.find(anchor)
-    while pos >= 0 and len(hits) <= 4:
+    while pos >= 0 and len(hits) <= 64:
         gi = bisect.bisect_right(starts, pos) - 1
         hits.append((sig_at[gi], pos - starts[gi]))
         pos = concat.find(anchor, pos + 1)
     if pos >= 0:
-        # A 6th+ anchor occurrence exists beyond the collection cap. A
-        # partial hit list could yield a false-unique walk, which
+        # Occurrences beyond the (generous) collection cap: a partial
+        # hit list could yield a false-unique walk, which
         # split_repeats_with_threads would treat as a conflict-free
-        # witness — so treat the anchor as ambiguous instead.
+        # witness — treat the anchor as ambiguous. The cap must stay
+        # high enough to EXHAUST real repeat families (IS elements
+        # occur ~10-30 times after split rounds duplicate unitigs):
+        # capping at 5 disabled threading exactly at IS anchors and
+        # collapsed their copies (measured on sample_data: 66 -> 1797
+        # surviving A errors, plasmid E homogenised with A's variant).
         return None
     threads = []
     for start_sig, start_off in hits:

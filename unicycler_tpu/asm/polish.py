@@ -29,9 +29,12 @@ from ..ops.encode import revcomp_codes
 
 
 def polish_round(unitig_graph, reads, scoring, multi_place=False,
-                 min_agreement=0.0, max_placements=4):
+                 min_agreement=0.0, max_placements=4,
+                 collect_votes=False):
     """One polishing round. reads: list of Read objects. Returns
-    (polished_seqs dict, mapping_quality, unitig_depths).
+    (polished_seqs dict, mapping_quality, unitig_depths); with
+    collect_votes=True, a 4th element (the per-segment ColumnVotes) for
+    diagnostics (scripts/polish_debug.py).
 
     multi_place + min_agreement exist for polishing graphs that contain
     NEAR-DUPLICATE sequence (a final assembly whose bridge consensus
@@ -168,6 +171,8 @@ def polish_round(unitig_graph, reads, scoring, multi_place=False,
                 prev = p
             out.append(chars[prev:][keep[prev:]].tobytes().decode())
             polished[name] = ''.join(out)
+    if collect_votes:
+        return polished, mapping_quality, dict(unitig_depths), votes
     return polished, mapping_quality, dict(unitig_depths)
 
 
