@@ -31,6 +31,17 @@ from .. import log, settings
 from ..io.fastx import decode_sequence, encode_sequence, load_long_reads
 from ..misc import gfa_path, reverse_complement
 
+# Aggressive repeat resolution (the round-4 "higher-k thread resolution"
+# bundle: the k' > best_k ladder, interleaved thread/pair splitting with
+# mid-resolution simplification, 80k pair votes, conflicted-mate
+# rescue). DEFAULT OFF: measured on sample_data it welds DIVERGED
+# HOMOLOGS — plasmid E's unique region took plasmid A's variant at 5
+# sites and surviving plasmid-A errors went 66 -> 1797 — while the
+# conservative path reproduces the reference-grade 66-error assembly.
+# Opt in with --aggressive_resolution (or UNICYCLER_TPU_AGGRESSIVE=1)
+# when contiguity matters more than per-copy variant fidelity.
+AGGRESSIVE_RESOLUTION = os.environ.get('UNICYCLER_TPU_AGGRESSIVE') == '1'
+
 
 def get_kmer_range(read_lengths, kmer_count=8, min_kmer_frac=0.2,
                    max_kmer_frac=0.95):
@@ -568,12 +579,16 @@ def resolve_paths_with_higher_k(unitigs, links, hk_segments, k):
 
 
 def collect_pair_votes(unitigs, links, pairs_1, pairs_2, k, insert_mean,
-                       max_pairs=80000):
+                       max_pairs=None):
     """Insert-implied gap votes between oriented unitigs from placed
     read pairs: votes[(signed_a, signed_b)] = list of gap estimates
     between the END of oriented `a` and the START of oriented `b`
     (mate 1 forward on the fragment, mate 2 reverse). Shared by the
-    path resolver and the repeat splitter."""
+    path resolver and the repeat splitter. Vote volume and the
+    conflicted-mate rescue follow AGGRESSIVE_RESOLUTION (see
+    build_best_short_read_graph)."""
+    if max_pairs is None:
+        max_pairs = 80000 if AGGRESSIVE_RESOLUTION else 20000
     from ..ops.minimizer import MinimizerIndex
     votes = defaultdict(list)
     if not pairs_1 or not pairs_2:
@@ -619,7 +634,13 @@ def collect_pair_votes(unitigs, links, pairs_1, pairs_2, k, insert_mean,
                 key = frozenset((ranked[i].ref_id + 1,
                                  ranked[j].ref_id + 1))
                 if len(key) > 1 and key not in linked_pairs:
-                    if ranked[0].n_hits >= 3 * ranked[1].n_hits:
+                    if AGGRESSIVE_RESOLUTION and \
+                            ranked[0].n_hits >= 3 * ranked[1].n_hits:
+                        # rescue a decisively-ranked conflicted mate —
+                        # aggressive mode only: a diverged-homolog
+                        # impersonation can outrank 3x and still be the
+                        # wrong locus (the plasmid E homogenisation
+                        # measured in round 5)
                         return ranked[:1]
                     return ()
         return ranked
@@ -1111,6 +1132,10 @@ def build_best_short_read_graph(args):
     (ref get_best_spades_graph, spades_func.py:32-161)."""
     from ..graph.assembly_graph import AssemblyGraph
 
+    global AGGRESSIVE_RESOLUTION
+    if getattr(args, 'aggressive_resolution', False):
+        AGGRESSIVE_RESOLUTION = True
+
     log.log_section_header('Assembling short reads with de Bruijn graphs')
     read_arrays = []
     pairs_1, pairs_2 = [], []
@@ -1214,7 +1239,7 @@ def build_best_short_read_graph(args):
     # graph as HKPATH records (resolve_paths_with_higher_k).
     hk_segments = []
     hk_carry = make_carry('S0', unitigs, links, k, k + 8) \
-        if k < 127 else None
+        if (k < 127 and AGGRESSIVE_RESOLUTION) else None
     k_hi = k + 8 if k % 2 == 1 else k + 7
     hk_tmp = os.path.join(args.out, 'TEMP_hk_graph.gfa')
     while hk_carry is not None and k_hi <= min(127, max(kmer_range) + 8):
@@ -1244,14 +1269,21 @@ def build_best_short_read_graph(args):
 
     insert_mean, insert_dev = estimate_insert_size(pairs_1, pairs_2,
                                                    unitigs, k)
-    unitigs, links, n_hk_split, n_split = resolve_repeats(
-        unitigs, links, hk_segments, pairs_1, pairs_2, k, insert_mean,
-        insert_dev, tmp_gfa, args.depth_filter, args.largest_component)
-    if os.path.exists(tmp_gfa):        # simplify_unitigs recreates it
-        os.remove(tmp_gfa)
+    if AGGRESSIVE_RESOLUTION:
+        unitigs, links, n_hk_split, n_split = resolve_repeats(
+            unitigs, links, hk_segments, pairs_1, pairs_2, k,
+            insert_mean, insert_dev, tmp_gfa, args.depth_filter,
+            args.largest_component)
+        if os.path.exists(tmp_gfa):    # simplify_unitigs recreates it
+            os.remove(tmp_gfa)
+        hk_paths = resolve_paths_with_higher_k(unitigs, links,
+                                               hk_segments, k)
+    else:
+        unitigs, links, n_split = split_repeats_with_pairs(
+            unitigs, links, pairs_1, pairs_2, k, insert_mean, insert_dev)
+        n_hk_split, hk_paths = 0, []
     paths = resolve_paths_with_pairs(unitigs, links, pairs_1, pairs_2, k,
                                      insert_mean, insert_dev)
-    hk_paths = resolve_paths_with_higher_k(unitigs, links, hk_segments, k)
     log.log('  best k=%d; %d repeats split by higher-k threads, %d by '
             'read pairs; %d paired-end paths resolved; %d higher-k '
             'paths threaded'

@@ -662,8 +662,37 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
         return None
     put = (lambda x: jax.device_put(x, device)) if device is not None \
         else (lambda x: x)
+
+    # Single-upload path (everything except two-phase): every launch's
+    # packed buffers concatenate into ONE uint8 + ONE int32 host->device
+    # transfer for the whole dispatch call — each separate upload pays
+    # its own tunnel round trip (PERF.md round 5), so per-call transfer
+    # count drops from 2*launches to 2. Launch inputs are then
+    # device-side dynamic slices (async device ops, no transfers).
+    mega = None
+    if launches and not (need_cigar and two_phase):
+        from .wavetape import pack_launch_inputs
+        packed_list = []
+        for tp in launches:
+            segA_h = tp.seg_g * WG
+            lenA_h = np.where(tp.n_t > 0,
+                              (tp.lastg - tp.seg_g + 1) * WG, 0)
+            packed_list.append(pack_launch_inputs(tp, segA_h, lenA_h))
+        all_b = _pad_geom(np.concatenate([b for b, _, _ in packed_list]))
+        all_i = _pad_geom(np.concatenate([i for _, i, _ in packed_list]))
+        dev_b = jax.device_put(all_b, device)
+        dev_i = jax.device_put(all_i, device)
+        offs_b, offs_i, off_b, off_i = [], [], 0, 0
+        for b, i, _ in packed_list:
+            offs_b.append(off_b)
+            offs_i.append(off_i)
+            off_b += len(b)
+            off_i += len(i)
+        mega = (dev_b, dev_i, offs_b, offs_i,
+                [(len(b), len(i), g) for b, i, g in packed_list])
+
     pending = []
-    for tp in launches:
+    for li, tp in enumerate(launches):
         # packed-event fetch budget: flat record index must fit 24 bits
         assert tp.q_tape.shape[0] * tp.NG * WG < (1 << 24), \
             'wave launch too large for packed event indices'
@@ -704,11 +733,10 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
             pending.append((tp, [score, end_i, end_j], ('fwd2', walk)))
         elif need_cigar:
             from .pallas_wavetape import wavetape_with_traceback_packed
-            from .wavetape import pack_launch_inputs
-            bytes_buf, ints_buf, geom = pack_launch_inputs(tp, segA, lenA)
+            bytes_buf, ints_buf, geom = _mega_slices(mega, li)
             score, end_i, end_j, records, fin, segA_dev, lenA_dev = \
                 wavetape_with_traceback_packed(
-                    put(bytes_buf), put(ints_buf), geom, scoring=scoring,
+                    bytes_buf, ints_buf, geom, scoring=scoring,
                     config=config, W=W, interpret=interpret)
             cap = _sparse_cap(int(tp.n_t[tp.n_t > 0].sum()), records)
             nnz, idx, vals = compress_records(
@@ -720,14 +748,41 @@ def _wavetape_dispatch(live_tasks, scoring, config, W, need_cigar,
             pending.append((tp, dev, (cap, records)))
         else:
             from .pallas_wavetape import wavetape_forward_packed
-            from .wavetape import pack_launch_inputs
-            bytes_buf, ints_buf, geom = pack_launch_inputs(tp, segA, lenA)
+            bytes_buf, ints_buf, geom = _mega_slices(mega, li)
             score, end_i, end_j, _, _ = wavetape_forward_packed(
-                put(bytes_buf), put(ints_buf), geom, scoring=scoring,
+                bytes_buf, ints_buf, geom, scoring=scoring,
                 config=config, W=W, need_moves=False,
                 interpret=interpret)
             pending.append((tp, [score, end_i, end_j], None))
     return pending
+
+
+def _pad_geom(buf, base=4096):
+    """Pad a 1-D buffer up to a geometric 1.25x size bucket so the mega
+    upload and the per-launch extract slices compile against a small,
+    stable set of shapes."""
+    size = base
+    while size < len(buf):
+        size = -(-int(size * 1.25) // 512) * 512
+    if size == len(buf):
+        return buf
+    out = np.zeros(size, buf.dtype)
+    out[:len(buf)] = buf
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=('size',))
+def _extract_slice(buf, start, size):
+    return jax.lax.dynamic_slice(buf, (jnp.int32(start),), (size,))
+
+
+def _mega_slices(mega, li):
+    """Device-side slices of launch li's packed buffers from the
+    per-call mega upload."""
+    dev_b, dev_i, offs_b, offs_i, metas = mega
+    nb, ni, geom = metas[li]
+    return (_extract_slice(dev_b, offs_b[li], size=nb),
+            _extract_slice(dev_i, offs_i[li], size=ni), geom)
 
 
 def _tape_dispatch(live_tasks, scoring, config, W, need_cigar,

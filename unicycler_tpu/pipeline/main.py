@@ -145,6 +145,14 @@ def get_arguments(args=None):
     spades.add_argument('--largest_component', action='store_true',
                         help=ext('Only keep the largest connected '
                                  'component of the assembly graph'))
+    spades.add_argument('--aggressive_resolution', action='store_true',
+                        help=ext('Enable the aggressive repeat-resolution '
+                                 'bundle (higher-k thread ladder, '
+                                 'interleaved splitting, conflicted-mate '
+                                 'rescue). More contiguous but can weld '
+                                 'diverged repeat homologs; the default '
+                                 'conservative path preserves per-copy '
+                                 'variants'))
     spades.add_argument('--short_read_graph', default=None,
                         help=ext('Existing short-read assembly graph '
                                  '(GFA, or SPAdes FASTG with a sibling '
